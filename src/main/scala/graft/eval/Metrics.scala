@@ -1,0 +1,78 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Evaluation metrics.
+ *
+ * 1. Triple-set precision/recall vs a golden set — `left_anti`-based set
+ *    difference (what the reference's FN computation hand-rolls with a
+ *    left-outer join + coalesce, cs562_sdpg `ClusteringEvaluation.scala:48-55`;
+ *    SURVEY §2.7 notes `except`/`left_anti` is the idiomatic form).
+ * 2. Cluster-majority precision/recall/F1 — faithful rebuild of
+ *    `ClusteringEvaluation.computeMetricsWithoutPairwise`
+ *    (`ClusteringEvaluation.scala:8-65`): per predicted cluster take the
+ *    majority ground-truth label (row_number window), count TP/FP, and count
+ *    FN as actual-minus-predicted per label.
+ */
+object Metrics {
+
+  final case class PR(tp: Long, fp: Long, fn: Long) {
+    def precision: Double = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+    def recall: Double = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+    def f1: Double = {
+      val p = precision; val r = recall
+      if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    }
+  }
+
+  /** Exact triple-set P/R: both sides are (subj, pred, obj). */
+  def triplePR(predicted: DataFrame, golden: DataFrame): PR = {
+    val cols = Seq("subj", "pred", "obj").map(col)
+    val p = predicted.select(cols: _*).distinct()
+    val g = golden.select(cols: _*).distinct()
+    val tp = p.join(g, Seq("subj", "pred", "obj"), "left_semi").count()
+    val fp = p.join(g, Seq("subj", "pred", "obj"), "left_anti").count()
+    val fn = g.join(p, Seq("subj", "pred", "obj"), "left_anti").count()
+    PR(tp, fp, fn)
+  }
+
+  /**
+   * Cluster-majority P/R/F1 (reference `ClusteringEvaluation.scala:8-65`).
+   * @param assignments DataFrame with (id, predicted, actual)
+   */
+  def clusterMajorityPR(assignments: DataFrame): PR = {
+    val counts = assignments.groupBy("predicted", "actual").count()
+    val w = Window.partitionBy("predicted").orderBy(col("count").desc, col("actual"))
+    val majority = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("predicted"), col("actual").as("majorityType"))
+    val joined = assignments.join(majority, "predicted")
+    val tp = joined.filter(col("actual") === col("majorityType")).count()
+    val fp = joined.filter(col("actual") =!= col("majorityType")).count()
+    val totalActual = assignments.groupBy("actual").count()
+      .withColumnRenamed("count", "totalActual")
+    val totalPredicted = joined.filter(col("actual") === col("majorityType"))
+      .groupBy("majorityType").count()
+      .withColumnRenamed("count", "totalPredicted")
+    val fn = totalActual
+      .join(totalPredicted, totalActual("actual") === totalPredicted("majorityType"), "left_outer")
+      .select(sum(col("totalActual") - coalesce(col("totalPredicted"), lit(0L))).as("fn"))
+      .head().getLong(0)
+    PR(tp, fp, fn)
+  }
+
+  /** Exact-set-match pattern P/R (reference Pipeline B,
+    * `Metrics.scala:37-47`): both sides are small summary sets — compared
+    * distributed via semi/anti joins on a stable digest. */
+  def setMatchPR(detected: DataFrame, golden: DataFrame, keyCols: Seq[String]): PR = {
+    val d = detected.select(keyCols.map(col): _*).distinct()
+    val g = golden.select(keyCols.map(col): _*).distinct()
+    PR(
+      d.join(g, keyCols, "left_semi").count(),
+      d.join(g, keyCols, "left_anti").count(),
+      g.join(d, keyCols, "left_anti").count())
+  }
+}

@@ -1,0 +1,96 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-turn triple extraction over the transcript contract table
+ * `(conv_id, turn_idx, role, text, tool, ts)`.
+ *
+ * Analog of the reference's per-row label/property extraction
+ * (cs562_sdpg `src2/main/scala/DataToPattern.scala:11-73`) — but where the
+ * reference `collect()`s every file to the driver and walks rows in Scala
+ * (`DataToPattern.scala:14`, a known defect, SURVEY.md appendix), this is
+ * pure Catalyst column expressions (`regexp_extract`, `when`, `lower`):
+ * whole-stage-codegen'd, fully distributed, no driver boundary.
+ *
+ * URI minting uses `sha2(..., 256)` exactly like the reference mints
+ * `sdpg.gr/<label>/<sha256(id)>` (`DataToPattern.scala:75-79`) but with the
+ * built-in expression instead of driver-side `MessageDigest`.
+ */
+object Extraction {
+
+  /** Extraction rule: predicate name, anchored regex with two capture
+    * groups, subject entity type, object entity type. Mirrors the template
+    * dictionary the reference keeps for label inference
+    * (`DataToPattern.scala:9`, `Main.scala:17`). */
+  final case class Rule(pred: String, regex: String, subjType: String, objType: String)
+
+  val rules: Seq[Rule] = Seq(
+    Rule("works_at",   "^(.{1,128}?) works at (.{1,128}?)\\.$",    "person", "org"),
+    Rule("lives_in",   "^(.{1,128}?) lives in (.{1,128}?)\\.$",    "person", "city"),
+    Rule("reports_to", "^(.{1,128}?) reports to (.{1,128}?)\\.$",  "person", "person"),
+    Rule("based_in",   "^(.{1,128}?) is based in (.{1,128}?)\\.$", "org",    "city"))
+
+  /** Normalize a surface form for blocking/equality: lowercase, strip
+    * punctuation, collapse whitespace. Pure string functions applied in a
+    * stable order (per-turn text equality invariant, BASELINE input_hint). */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Mint a stable URI for a normalized mention (reference analog:
+    * `DataToPattern.scala:75-79`). */
+  def mintUri(entityType: Column, normForm: Column): Column =
+    concat(lit("graft://"), entityType, lit("/"), sha2(concat_ws("|", entityType, normForm), 256))
+
+  /**
+   * Extract raw triples with provenance. One `select` per rule, unioned —
+   * Catalyst collapses each into a single projection over the scan, and the
+   * union is a narrow (no-shuffle) operator.
+   *
+   * Output: (conv_id, turn_idx, subj_raw, pred, obj_raw, subj_type, obj_type,
+   *          subj_norm, obj_norm)
+   */
+  def triplesRaw(transcripts: DataFrame): DataFrame = {
+    val base = transcripts.select("conv_id", "turn_idx", "text")
+    rules.map { r =>
+      base
+        .filter(col("text").rlike(r.regex))
+        .select(
+          col("conv_id"), col("turn_idx"),
+          regexp_extract(col("text"), r.regex, 1).as("subj_raw"),
+          lit(r.pred).as("pred"),
+          regexp_extract(col("text"), r.regex, 2).as("obj_raw"),
+          lit(r.subjType).as("subj_type"),
+          lit(r.objType).as("obj_type"))
+    }.reduce(_ unionByName _)
+      .filter(col("subj_raw") =!= "" && col("obj_raw") =!= "")
+      .withColumn("subj_norm", normalize(col("subj_raw")))
+      .withColumn("obj_norm", normalize(col("obj_raw")))
+  }
+
+  /**
+   * Distinct entity mentions across both triple slots.
+   * `mention_id` is a stable 64-bit key = xxhash64(type, normalized form) —
+   * partition-stable and deterministic (SURVEY.md §7 hard-part #2), unlike
+   * the reference's JVM `hashCode` featurization (`LSH.scala:29-30`).
+   *
+   * Output: (mention_id, mention_type, norm, n_occurrences, forms)
+   */
+  def mentions(triples: DataFrame): DataFrame = {
+    val slots = triples.select(col("subj_norm").as("norm"), col("subj_type").as("mention_type"),
+        col("subj_raw").as("raw"))
+      .unionByName(triples.select(col("obj_norm").as("norm"), col("obj_type").as("mention_type"),
+        col("obj_raw").as("raw")))
+    // two-level agg: count per raw form first (partial-agg friendly), then
+    // roll up to the normalized mention with the majority raw form
+    slots.groupBy("mention_type", "norm", "raw").agg(count(lit(1)).as("n"))
+      .groupBy("mention_type", "norm").agg(
+        sum("n").as("n_occurrences"),
+        max_by(col("raw"), struct(col("n"), col("raw"))).as("top_raw"),
+        collect_set(col("raw")).as("forms"))
+      .select(
+        xxhash64(col("mention_type"), col("norm")).as("mention_id"),
+        col("mention_type"), col("norm"), col("n_occurrences"), col("top_raw"), col("forms"))
+  }
+}

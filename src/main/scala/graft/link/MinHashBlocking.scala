@@ -1,0 +1,110 @@
+package graft.link
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * MinHash-LSH candidate blocking for entity linking.
+ *
+ * Reference analog: MinHashLSH over binary property vectors
+ * (cs562_sdpg `src/main/scala/Clustering.scala:59-68`) with the LSH sizing
+ * formula of `Clustering.scala:12-28,39-54` (kept verbatim below — it is a
+ * pure function and unit-tested). The rebuild hashes **text shingles** with
+ * seeded `xxhash64` into plain `ArrayType(LongType)` signatures instead of
+ * `ml.linalg` VectorUDTs: deterministic (no driver-side `fit`), no UDT
+ * serialization overhead, and the whole signature computation stays inside
+ * whole-stage codegen (SURVEY.md §2.9 M3 rebuild note).
+ *
+ * Scale notes (100 TB): signatures are computed map-side only; the single
+ * shuffle is the band-key self-join. Band buckets are capped (`maxBucket`)
+ * so a degenerate hot bucket (power-law skew, SURVEY.md §7 hard-part #3)
+ * cannot produce a quadratic pair explosion; AQE skew-join handles the rest.
+ */
+object MinHashBlocking {
+
+  /**
+   * Reference sizing formula, verbatim semantics
+   * (`Clustering.scala:13-28,39-54`): numHashTables = ceil(ln(1-P)/ln(1-s)),
+   * scaled by log10(datasetSize), floored at the unscaled value.
+   */
+  def numHashTables(similarityThreshold: Double = 0.8,
+                    desiredProbability: Double = 0.9,
+                    datasetSize: Long = 0L): Int = {
+    val base = math.ceil(math.log(1 - desiredProbability) / math.log(1 - similarityThreshold)).toInt
+    if (datasetSize <= 0) base
+    else math.max(base, math.ceil(base * math.log10(datasetSize.toDouble.max(10.0))).toInt)
+  }
+
+  /** Character n-gram shingles of a normalized string (distinct). */
+  def shingles(c: Column, n: Int = 3): Column = {
+    // pad so short strings still yield >=1 shingle (rpad alone would
+    // TRUNCATE longer strings to n — only pad when short)
+    val padded = when(length(c) < n, rpad(c, n, "#")).otherwise(c)
+    array_distinct(
+      transform(
+        sequence(lit(0), length(padded) - n),
+        i => padded.substr(i + 1, lit(n))))
+  }
+
+  /** k seeded minhash values over a shingle array: sig_i = min over shingles
+    * of xxhash64(i, shingle). Plain array<long>, no UDT, no UDF. */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shinglesCol, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** Split a k-length signature into `bands` band keys; a band key is the
+    * xxhash64 of its rows plus the band index (and any extra grouping cols,
+    * e.g. the entity type so cross-type mentions never block together). */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int, extra: Column*): Column =
+    array((0 until bands).map { b =>
+      xxhash64(
+        (lit(b) +: extra :+
+          concat_ws(",", (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)): _*)
+    }: _*)
+
+  /**
+   * Candidate pairs via band-bucket self-join.
+   *
+   * Input must carry (`idCol`: long, `shinglesCol`: array<string>) plus any
+   * `extra` type columns. Output: (id_a, id_b, jaccard) with id_a < id_b and
+   * jaccard >= `threshold` (exact Jaccard verification over the shingle
+   * sets — the LSH is a filter, not the decision).
+   */
+  /** Bands needed so a pair at exactly `threshold` similarity is caught with
+    * probability >= `p` given `r` rows per band: 1-(1-t^r)^b >= p. */
+  def numBands(threshold: Double, rowsPerBand: Int, p: Double = 0.98): Int =
+    math.max(2, math.ceil(
+      math.log(1 - p) / math.log(1 - math.pow(threshold, rowsPerBand))).toInt)
+
+  def candidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
+                     threshold: Double, k: Int = 0, extraKey: Seq[String] = Nil,
+                     maxBucket: Int = 10000): DataFrame = {
+    val rowsPerBand = 2
+    val bands = if (k > 0) math.max(1, k / rowsPerBand)
+                else numBands(threshold, rowsPerBand)
+    val withBands = df
+      .withColumn("_sig", minhashSignature(col(shinglesCol), bands * rowsPerBand))
+      .withColumn("_band", explode(bandKeys(col("_sig"), bands, rowsPerBand,
+        extraKey.map(col): _*)))
+      .select(col("_band"), col(idCol).as("_id"), col(shinglesCol).as("_sh"))
+
+    // cap pathological buckets: keep at most maxBucket members per band key
+    // (row_number window; deterministic order by id)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_band").orderBy("_id")
+    val capped = withBands.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket).drop("_rn")
+
+    val a = capped.select(col("_band"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
+    val b = capped.select(col("_band"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    a.join(b, Seq("_band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "_sh_a", "_sh_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
+          size(array_union(col("_sh_a"), col("_sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.checkpoint.Checkpoint
+import graft.extract.Extraction
+import graft.graph.Materialize
+import graft.ingest.Transcripts
+import graft.link.{Canonicalize, MinHashBlocking}
+import graft.schemadisc.SchemaDiscovery
+
+/**
+ * End-to-end knowledge-graph construction pipeline (BASELINE north_rule):
+ *
+ *   transcripts → stable turns → triple extraction → mention table →
+ *   MinHash-LSH blocking → connected-components canonicalization →
+ *   canonical triples → schema discovery → node/edge tables
+ *
+ * Every stage optionally checkpoints to partitioned Parquet with a
+ * `_metrics.json` lineage sidecar ([[Checkpoint]]), so a killed run resumes
+ * at the stage it died in — the distributed rebuild of cs562_sdpg's
+ * serialized-HashMap resume loop (`src2/main/scala/Main.scala:37-50`).
+ */
+object KGPipeline {
+
+  final case class Config(
+      jaccardThreshold: Double = 0.6,
+      checkpointDir: Option[String] = None,
+      shingleSize: Int = 3,
+      maxBucket: Int = 10000)
+
+  final case class Result(
+      triplesRaw: DataFrame,
+      mentions: DataFrame,
+      pairs: DataFrame,
+      entities: DataFrame,
+      canonicalTriples: DataFrame,
+      nodes: DataFrame,
+      edges: DataFrame,
+      nodeSchema: DataFrame,
+      edgeSchema: DataFrame,
+      tripleSet: DataFrame)
+
+  def run(spark: SparkSession, transcripts: DataFrame,
+          cfg: Config = Config()): Result = {
+
+    def stage(name: String, parts: Seq[String] = Nil)(f: => DataFrame): DataFrame =
+      cfg.checkpointDir match {
+        case Some(d) => Checkpoint.stage(spark, d, name, parts)(f)
+        case None => f
+      }
+
+    val turns = Transcripts.stableTurns(transcripts)
+
+    val triplesRaw = stage("triples_raw") { Extraction.triplesRaw(turns) }
+
+    val mentions = stage("mentions") {
+      Extraction.mentions(triplesRaw)
+        .withColumn("shingles", MinHashBlocking.shingles(col("norm"), cfg.shingleSize))
+    }
+
+    val pairs = stage("pairs") {
+      MinHashBlocking.candidatePairs(
+        mentions, "mention_id", "shingles",
+        threshold = cfg.jaccardThreshold,
+        extraKey = Seq("mention_type"),
+        maxBucket = cfg.maxBucket)
+    }
+
+    val entities = stage("entities") {
+      Canonicalize.entities(mentions.drop("shingles"), pairs)
+    }
+
+    val canonicalTriples = stage("canonical_triples") {
+      Canonicalize.canonicalTriples(triplesRaw, entities)
+    }
+
+    val nodes = stage("nodes") { Materialize.nodes(canonicalTriples, entities) }
+    val edges = stage("edges") { Materialize.edges(canonicalTriples) }
+    val nodeSchema = stage("node_schema") { SchemaDiscovery.nodeTypeSchema(canonicalTriples) }
+    val edgeSchema = stage("edge_schema") { SchemaDiscovery.edgeTypes(canonicalTriples) }
+    val tripleSet = stage("triple_set") { Materialize.tripleSet(canonicalTriples) }
+
+    Result(triplesRaw, mentions, pairs, entities, canonicalTriples,
+      nodes, edges, nodeSchema, edgeSchema, tripleSet)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.eval.Metrics
+import graft.extract.Extraction
+import graft.fixtures.TranscriptGen
+import graft.pipeline.KGPipeline
+
+class KGPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val transcripts = TranscriptGen.transcripts(spark, nConvs = 400).cache()
+  lazy val golden = TranscriptGen.goldenTriples(spark, nConvs = 400).cache()
+  lazy val result = KGPipeline.run(spark, transcripts)
+
+  test("generator: contract schema, stable ordering, hot conversations exist") {
+    assert(transcripts.columns.toSeq ==
+      Seq("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    val sizes = transcripts.groupBy("conv_id").count().agg(max("count"), min("count"))
+      .as[(Long, Long)].head()
+    assert(sizes._1 > 50, "power-law tail: hot conversations") // avgTurns*20
+    // ts strictly increasing within conversation
+    val bad = transcripts
+      .withColumn("prev", lag("ts", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("conv_id").orderBy("turn_idx")))
+      .filter(col("prev").isNotNull && col("prev") >= col("ts")).count()
+    assert(bad == 0)
+  }
+
+  test("extraction: every fact turn yields exactly one raw triple") {
+    val raw = Extraction.triplesRaw(transcripts)
+    val factTurns = transcripts.filter(
+      col("text").rlike(" works at | lives in | reports to | is based in ")).count()
+    assert(raw.count() == factTurns)
+  }
+
+  test("end-to-end triple P/R vs golden >= 0.95 despite aliases (north rule)") {
+    val pr = Metrics.triplePR(result.tripleSet, golden)
+    info(s"triples: tp=${pr.tp} fp=${pr.fp} fn=${pr.fn} " +
+      f"P=${pr.precision}%.4f R=${pr.recall}%.4f F1=${pr.f1}%.4f")
+    assert(pr.precision >= 0.95, s"precision ${pr.precision}")
+    assert(pr.recall >= 0.95, s"recall ${pr.recall}")
+  }
+
+  test("canonicalization: cluster-majority P/R vs generator entity truth") {
+    // Ground truth per mention, reconstructed exactly from the alias scheme:
+    // lowercase / trailing-space variants normalize to the base form; the
+    // typo variant appends one char — so actual = norm if it is a dictionary
+    // base form, else norm minus its last character.
+    val dictNorms = (TranscriptGen.persons ++ TranscriptGen.orgs ++ TranscriptGen.cities)
+      .map(_.toLowerCase)
+    val assignments = result.entities.select(
+      col("mention_id").as("id"),
+      col("canonical_id").as("predicted"),
+      when(col("norm").isin(dictNorms: _*), col("norm"))
+        .otherwise(expr("substring(norm, 1, length(norm) - 1)")).as("actual"))
+    val pr = Metrics.clusterMajorityPR(assignments)
+    info(f"entity clusters: P=${pr.precision}%.4f R=${pr.recall}%.4f")
+    assert(pr.precision >= 0.95 && pr.recall >= 0.95)
+  }
+
+  test("schema discovery: predicates typed correctly, self-type edges dropped") {
+    val edgeTypes = result.edgeSchema
+      .select("src_label", "predicate", "dst_label")
+      .as[(String, String, String)].collect().toSet
+    assert(edgeTypes.contains(("person", "works_at", "org")))
+    assert(edgeTypes.contains(("person", "lives_in", "city")))
+    assert(edgeTypes.contains(("org", "based_in", "city")))
+    // reports_to is person->person: dropped by the reference's same-type rule
+    assert(!edgeTypes.exists(_._2 == "reports_to"))
+    val kept = graft.schemadisc.SchemaDiscovery.edgeTypes(
+      result.canonicalTriples, keepSameType = true)
+      .select("predicate").as[String].collect().toSet
+    assert(kept.contains("reports_to"))
+  }
+
+  test("determinism: rerunning the pipeline yields the identical triple set") {
+    val again = KGPipeline.run(spark, transcripts)
+    assert(Metrics.triplePR(again.tripleSet, result.tripleSet).f1 == 1.0)
+  }
+}
