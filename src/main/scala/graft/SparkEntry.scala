@@ -141,7 +141,94 @@ object SparkEntry {
         KGPipeline.Config(jaccardThreshold = 0.95))
       r.edgeSchema.select("src_label", "predicate", "dst_label", "n_edges",
         "n_distinct_pairs")
-    })
+    }),
+
+    // cluster-majority evaluation — the reference's most relational plan
+    // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
+    // inner/left-outer joins + coalesce, as one DataFrame
+    "q8_eval_majority" -> ((s, dir) => {
+      val assignments = tbl(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_mktsegment").as("predicted"),
+        col("c_nationkey").cast("string").as("actual"))
+      graft.eval.Metrics.clusterMajorityCounts(assignments)
+    }),
+
+    // ---- training-data pipeline: deduplication ----
+
+    // exact dedup: survivor per normalized text (input = two "snapshots")
+    "dd1_exact_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val snapshot2 = d.withColumn("doc_id", col("doc_id") + 100000L)
+      graft.textops.Dedup.exact(d.unionByName(snapshot2), "doc_id", "text")
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified
+    "dd2_minhash_pairs" -> ((s, dir) =>
+      graft.textops.Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", 0.8)),
+
+    // SimHash near-dup pairs (banded 64-bit, Hamming<=3) — no SQL oracle
+    // (xxhash64 not portable); quality asserted in DedupSpec
+    "dd3_simhash_pairs" -> ((s, dir) =>
+      graft.textops.Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", 3)),
+
+    // exact n-gram Jaccard within a blocking key
+    "dd4_ngram_jaccard" -> ((s, dir) =>
+      graft.textops.Dedup.ngramJaccardPairs(
+        tbl(s, dir, "documents"), "doc_id", "text", "lang", 0.5)),
+
+    // embedding-cosine near-dup via hyperplane-LSH buckets (rows-only;
+    // recall vs brute force asserted in AnnSpec)
+    "dd5_embed_pairs" -> ((s, dir) =>
+      graft.textops.Dedup.embeddingPairs(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.9)),
+
+    // ---- training-data pipeline: similarity search ----
+
+    "ann1_brute_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.ann.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+    }),
+
+    // LSH-bucketed ANN (scale path; recall asserted in AnnSpec)
+    "ann2_lsh_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.ann.Similarity.lshTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+    }),
+
+    // ---- training-data pipeline: text analysis ----
+
+    "tx1_langid" -> ((s, dir) => tbl(s, dir, "documents")
+      .select(col("doc_id"), graft.textops.TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "tx2_quality" -> ((s, dir) =>
+      graft.textops.TextAnalysis.qualityFeatures(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    "tx3_tokens" -> ((s, dir) => tbl(s, dir, "documents").select(
+      col("doc_id"),
+      graft.textops.TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
+      graft.textops.TextAnalysis.tokenCountBpe(col("text")).as("n_bpe_tokens"))),
+
+    "tx4_fingerprints" -> ((s, dir) =>
+      graft.textops.TextAnalysis.fingerprints(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- training-data pipeline: multimodal plumbing (decode STUBBED) ----
+
+    "mm1_assets" -> ((s, dir) => graft.multimodal.Multimodal
+      .assets(tbl(s, dir, "documents"))
+      .select(col("asset_id"), col("modality"),
+        length(col("payload")).as("payload_bytes"), col("meta.tag").as("tag"))),
+
+    "mm2_frames" -> ((s, dir) => graft.multimodal.Multimodal
+      .sampleFrames(graft.multimodal.Multimodal.assets(tbl(s, dir, "documents")))
+      .select(col("asset_id"), col("frame_idx"),
+        length(col("frame_payload")).as("frame_bytes"))),
+
+    // stub feature extraction (rows-only: deterministic fake decode)
+    "mm3_features" -> ((s, dir) => graft.multimodal.Multimodal
+      .extractFeatures(graft.multimodal.Multimodal.assets(tbl(s, dir, "documents"))))
   )
 
   // DuckDB oracles. The KG oracles re-derive expected outputs directly from
@@ -246,6 +333,133 @@ object SparkEntry {
       s"""$triplesCte
          |SELECT subj_type AS src_label, pred AS predicate, obj_type AS dst_label,
          |  COUNT(*) AS n_edges, COUNT(DISTINCT subj || '|' || obj) AS n_distinct_pairs
-         |FROM triples WHERE subj_type <> obj_type GROUP BY 1, 2, 3""".stripMargin
+         |FROM triples WHERE subj_type <> obj_type GROUP BY 1, 2, 3""".stripMargin,
+
+    "q8_eval_majority" ->
+      """WITH assignments AS (
+        |  SELECT c_custkey AS id, c_mktsegment AS predicted,
+        |         CAST(c_nationkey AS VARCHAR) AS actual FROM customer),
+        |counts AS (SELECT predicted, actual, COUNT(*) AS cnt FROM assignments GROUP BY 1, 2),
+        |majority AS (SELECT predicted, actual AS mt FROM (
+        |  SELECT predicted, actual,
+        |    row_number() OVER (PARTITION BY predicted ORDER BY cnt DESC, actual) AS rn
+        |  FROM counts) WHERE rn = 1),
+        |joined AS (SELECT a.actual, m.mt FROM assignments a JOIN majority m ON a.predicted = m.predicted),
+        |tpfp AS (SELECT CAST(SUM(CASE WHEN actual = mt THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |               CAST(SUM(CASE WHEN actual <> mt THEN 1 ELSE 0 END) AS BIGINT) AS fp FROM joined),
+        |ta AS (SELECT actual, COUNT(*) AS total_actual FROM assignments GROUP BY 1),
+        |tpred AS (SELECT mt, COUNT(*) AS total_predicted FROM joined WHERE actual = mt GROUP BY 1),
+        |fnv AS (SELECT CAST(SUM(total_actual - COALESCE(total_predicted, 0)) AS BIGINT) AS fn
+        |        FROM ta LEFT JOIN tpred ON ta.actual = tpred.mt)
+        |SELECT tp, fp, fn FROM tpfp, fnv""".stripMargin,
+
+    "dd1_exact_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |GROUP BY trim(lower(text))""".stripMargin,
+
+    "dd2_minhash_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))]) AS s
+        |  FROM d)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+
+    "dd4_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))]) AS s
+        |  FROM d)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    "ann1_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_inner_product(qv, e.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(qv, qv)) *
+        |       sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM scored) WHERE rn <= 10""".stripMargin,
+
+    "tx1_langid" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  len(list_filter(string_split_regex(lower(text), ' +'),
+        |    x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS en,
+        |  len(list_filter(string_split_regex(lower(text), ' +'),
+        |    x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS de,
+        |  len(list_filter(string_split_regex(lower(text), ' +'),
+        |    x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS fr,
+        |  len(list_filter(string_split_regex(lower(text), ' +'),
+        |    x -> x IN ('el','los','y','es','un','una','las','que','por','con'))) AS es,
+        |  length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk
+        |FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN cjk * 5 > length(text) THEN 'zh'
+        |  WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |  WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |  WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |  WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |  ELSE 'es' END AS lang_pred
+        |FROM f""".stripMargin,
+
+    "tx2_quality" ->
+      """WITH f AS (SELECT doc_id,
+        |  len(string_split_regex(lower(text), ' +')) AS n_words,
+        |  length(text) AS n_chars_calc,
+        |  length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+        |  len(list_filter(string_split_regex(lower(text), ' +'),
+        |    x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS sw
+        |FROM documents),
+        |r AS (SELECT doc_id, n_words, n_chars_calc,
+        |  round(CAST(n_chars_calc - n_words + 1 AS DOUBLE) / n_words, 6) AS mean_word_len,
+        |  round(CAST(n_punct AS DOUBLE) / n_chars_calc, 6) AS punct_ratio,
+        |  round(CAST(sw AS DOUBLE) / n_words, 6) AS stopword_ratio
+        |FROM f)
+        |SELECT doc_id, n_words, n_chars_calc, mean_word_len, punct_ratio, stopword_ratio,
+        |  round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |        (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+        |        least(stopword_ratio * 4.0, 1.0) * 0.3, 6) AS quality_score
+        |FROM r""".stripMargin,
+
+    "tx3_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(text), ' +')) AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "tx4_fingerprints" ->
+      """WITH d AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm FROM documents),
+        |w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM d)
+        |SELECT doc_id, md5(norm) AS fp_content,
+        |  list_min([md5(array_to_string(ws[i:i+4], ' ')) for i in range(1, greatest(len(ws)-3, 2))]) AS fp_min_shingle
+        |FROM w""".stripMargin,
+
+    "mm1_assets" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  length(text) AS payload_bytes, lang AS tag
+        |FROM documents""".stripMargin,
+
+    "mm2_frames" ->
+      """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
+        |  least(256, length(text) - CAST(i AS INT) * 256) AS frame_bytes
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 256.0) AS INT))) AS i) r""".stripMargin
   )
 }

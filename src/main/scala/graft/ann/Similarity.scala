@@ -1,0 +1,113 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+ *   set against the corpus; one pass, no shuffle of the corpus, window
+ *   top-k per query. The correctness baseline.
+ * - [[lshTopK]]: random-hyperplane LSH buckets as the scale path — the
+ *   corpus is hash-partitioned by signature, each query probes its own and
+ *   adjacent (1-bit-flip) buckets; cost ~ bucketSize * probes instead of N.
+ *
+ * Hyperplanes are deterministic pseudo-random (seeded `xxhash64` of
+ * (plane, dim) mapped to [-1, 1]) — no driver-side fit, identical across
+ * runs and executors (SURVEY.md §7 determinism requirement).
+ */
+object Similarity {
+
+  /** Cosine similarity of two equal-length numeric arrays, computed in
+    * double via higher-order functions (codegen-friendly, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Deterministic hyperplane component for (table t, plane p, dim j) in
+    * [-1, 1]. */
+  private def planeComponent(t: Int, p: Int, j: Column): Column =
+    (pmod(xxhash64(lit("hp"), lit(t), lit(p), j), lit(2001L)).cast("double") - 1000.0) / 1000.0
+
+  /** m-bit random-hyperplane signature of a vector for hash table `t`:
+    * bit p = sign of dot(vec, plane_{t,p}). Returns a long (m <= 63). */
+  def hyperplaneSignature(vec: Column, m: Int = 16, t: Int = 0): Column = {
+    (0 until m).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * planeComponent(t, p, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * Exact top-k neighbors by cosine for each query vector.
+   * Ordering is on the 6-dp-rounded cosine with id tiebreak, so results are
+   * stable across summation orders and engines.
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /**
+   * Approximate top-k: multi-table hyperplane LSH with 1-bit multiprobe.
+   * The corpus is indexed into `tables` independent m-bit hash tables
+   * (replicated `tables`x — the standard LSH space/recall tradeoff); each
+   * query probes, per table, its own bucket plus all 1-bit-flip buckets,
+   * then exact cosine within the probed candidate set.
+   *
+   * Recall math: with per-bit agreement p = 1 - theta/pi, a candidate is
+   * found per table w.p. p^m + m*p^(m-1)*(1-p); across T tables
+   * 1-(1-that)^T. Defaults (m=6, T=8) give ~0.9 recall even for weakly
+   * correlated neighbors (p~0.6). At 10^9+ scale raise `bits` so expected
+   * bucket size stays bounded (bits ~ log2(N / targetBucket)).
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 6, tables: Int = 8): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneSignature(col(vecCol), bits, t).as("sig"))): _*)).as("_b"))
+      .select(col("neighbor_id"), col("_cv"),
+        col("_b.t").as("_t"), col("_b.sig").as("_sig"))
+    val qSig = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneSignature(col(vecCol), bits, t).as("sig"))): _*)).as("_b"))
+      .select(col("query_id"), col("_qv"),
+        col("_b.t").as("_t"), col("_b.sig").as("_s0"))
+    val probes = qSig.withColumn("_sig",
+      explode(array(col("_s0") +: (0 until bits).map(bp =>
+        col("_s0").bitwiseXOR(shiftleft(lit(1L), bp))): _*)))
+      .select("query_id", "_qv", "_t", "_sig")
+    val scored = broadcast(probes).join(c, Seq("_t", "_sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "_qv", "neighbor_id", "_cv")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", round(cosine(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

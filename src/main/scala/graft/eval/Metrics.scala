@@ -40,28 +40,38 @@ object Metrics {
   }
 
   /**
-   * Cluster-majority P/R/F1 (reference `ClusteringEvaluation.scala:8-65`).
+   * Cluster-majority TP/FP/FN as a one-row DataFrame (reference
+   * `ClusteringEvaluation.scala:8-65`): per predicted cluster take the
+   * majority actual label (deterministic tiebreak), TP = members matching
+   * it, FP = the rest, FN = per-label actual total minus correctly
+   * predicted (left-outer + coalesce, `:48-55`).
    * @param assignments DataFrame with (id, predicted, actual)
    */
-  def clusterMajorityPR(assignments: DataFrame): PR = {
+  def clusterMajorityCounts(assignments: DataFrame): DataFrame = {
     val counts = assignments.groupBy("predicted", "actual").count()
     val w = Window.partitionBy("predicted").orderBy(col("count").desc, col("actual"))
     val majority = counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
       .select(col("predicted"), col("actual").as("majorityType"))
     val joined = assignments.join(majority, "predicted")
-    val tp = joined.filter(col("actual") === col("majorityType")).count()
-    val fp = joined.filter(col("actual") =!= col("majorityType")).count()
+    val tpFp = joined.agg(
+      sum(when(col("actual") === col("majorityType"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("actual") =!= col("majorityType"), 1L).otherwise(0L)).as("fp"))
     val totalActual = assignments.groupBy("actual").count()
       .withColumnRenamed("count", "totalActual")
     val totalPredicted = joined.filter(col("actual") === col("majorityType"))
       .groupBy("majorityType").count()
       .withColumnRenamed("count", "totalPredicted")
-    val fn = totalActual
+    val fnDf = totalActual
       .join(totalPredicted, totalActual("actual") === totalPredicted("majorityType"), "left_outer")
-      .select(sum(col("totalActual") - coalesce(col("totalPredicted"), lit(0L))).as("fn"))
-      .head().getLong(0)
-    PR(tp, fp, fn)
+      .agg(sum(col("totalActual") - coalesce(col("totalPredicted"), lit(0L))).as("fn"))
+    tpFp.crossJoin(fnDf)
+  }
+
+  /** Scalar view of [[clusterMajorityCounts]]. */
+  def clusterMajorityPR(assignments: DataFrame): PR = {
+    val r = clusterMajorityCounts(assignments).head()
+    PR(r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** Exact-set-match pattern P/R (reference Pipeline B,

@@ -1,0 +1,87 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis operators for training-data pipelines: language ID,
+ * quality scoring, token counting, fingerprinting. All pure column
+ * expressions — whole-stage-codegen'd, embarrassingly parallel, zero
+ * shuffles (per-row transforms only).
+ */
+object TextAnalysis {
+
+  /** Per-language function-word dictionaries for the n-gram/stopword
+    * language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "los", "y", "es", "un", "una", "las", "que", "por", "con"),
+    "zh" -> Seq())
+
+  private def words(textCol: Column): Column = split(lower(textCol), " +")
+
+  /** Count of tokens belonging to a dictionary (duplicates counted). */
+  private def hits(ws: Column, dict: Seq[String]): Column =
+    if (dict.isEmpty) lit(0) else size(filter(ws, w => w.isin(dict: _*)))
+
+  /**
+   * Language-ID: CJK codepoint share decides zh; otherwise argmax of
+   * stopword-hit counts with deterministic tie order (en > de > fr > es),
+   * falling back to "und" (undetermined) when nothing matches.
+   */
+  def langId(textCol: Column): Column = {
+    val ws = words(textCol)
+    val cjk = length(regexp_replace(textCol, "[^\\x{4E00}-\\x{9FFF}]", ""))
+    val en = hits(ws, stopwords("en")); val de = hits(ws, stopwords("de"))
+    val fr = hits(ws, stopwords("fr")); val es = hits(ws, stopwords("es"))
+    val best = greatest(en, de, fr, es)
+    when(cjk * 5 > length(textCol), lit("zh"))
+      .when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(textCol: Column): Column = size(words(textCol))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single non-alnum
+    * glyphs each count as one token (a common pre-tokenizer shape). */
+  def tokenCountBpe(textCol: Column): Column =
+    size(regexp_extract_all(lower(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Quality features + a composite score in [0,1]:
+    * penalizes very short docs, high punctuation share, low stopword share.
+    * Deterministic closed-form (no model), 6-dp rounded. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws)
+    val nChars = length(col(textCol))
+    val nPunct = nChars - length(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", ""))
+    val swHits = hits(ws, stopwords("en"))
+    val meanWordLen = round((nChars - nWords + 1).cast("double") / nWords, 6)
+    val punctRatio = round(nPunct.cast("double") / nChars, 6)
+    val swRatio = round(swHits.cast("double") / nWords, 6)
+    val lenScore = least(nWords.cast("double") / 100.0, lit(1.0))
+    val score = round(
+      lenScore * 0.4 + (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.3 +
+        least(swRatio * 4.0, lit(1.0)) * 0.3, 6)
+    df.select(col(idCol), nWords.as("n_words"), nChars.as("n_chars_calc"),
+      meanWordLen.as("mean_word_len"), punctRatio.as("punct_ratio"),
+      swRatio.as("stopword_ratio"), score.as("quality_score"))
+  }
+
+  /** Document fingerprints: full-content digest plus a winnowing-style
+    * shingle fingerprint (min digest over word 5-grams) — robust to
+    * reordering of surrounding content. md5 keeps it oracle-portable. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), " +", " "))
+    val sh = Dedup.wordShingles(norm, 5)
+    df.select(col(idCol),
+      md5(norm).as("fp_content"),
+      array_min(transform(sh, s => md5(s))).as("fp_min_shingle"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Similarity
+import graft.multimodal.Multimodal
+import graft.textops.TextAnalysis
+
+class AnnAndTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("cosine: exact values on known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(round(Similarity.cosine(col("a"), col("b")), 9).as("c"))
+      .as[Double].collect()
+    assert(got.toSeq == Seq(1.0, 0.0, 1.0, 0.0))
+  }
+
+  test("lsh ANN recall@10 >= 0.7 vs brute force, far fewer comparisons") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"ANN recall@10 = $recall%.3f")
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("hyperplane signature: deterministic and similarity-sensitive") {
+    val s1 = emb.select(Similarity.hyperplaneSignature(col("embedding"), 16).as("s"))
+      .as[Long].collect()
+    val s2 = emb.select(Similarity.hyperplaneSignature(col("embedding"), 16).as("s"))
+      .as[Long].collect()
+    assert(s1.toSeq == s2.toSeq, "deterministic across runs")
+    assert(s1.distinct.length > 50, "signatures spread across buckets")
+  }
+
+  test("langId: detects stopword-dominant language and CJK") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house in that city"),
+      (2L, "der hund und die katze ist nicht ein tier mit"),
+      (3L, "le chat et la maison est une des choses pour"),
+      (4L, "这是一个中文句子测试"),
+      (5L, "zzz qqq www")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "fr")
+    assert(got(4L) == "zh" && got(5L) == "und")
+  }
+
+  test("token counts: ws vs bpe-ish on punctuation-heavy text") {
+    val df = Seq((1L, "hello world"), (2L, "a-b c123 d!")).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextAnalysis.tokenCountWs(col("text")).as("w"),
+      TextAnalysis.tokenCountBpe(col("text")).as("b"))
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == ((2, 2)))
+    assert(got(2L) == ((3, 7))) // a,-,b / c,123 / d,!
+  }
+
+  test("quality score in [0,1], longer clean docs score higher than tiny ones") {
+    val q = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+    val mm = q.agg(min("quality_score"), max("quality_score")).as[(Double, Double)].head()
+    assert(mm._1 >= 0.0 && mm._2 <= 1.0)
+    val tiny = TextAnalysis.qualityFeatures(
+      Seq((1L, "word")).toDF("id", "text"), "id", "text")
+      .select("quality_score").as[Double].head()
+    val avgDoc = q.agg(avg("quality_score")).as[Double].head()
+    assert(avgDoc > tiny)
+  }
+
+  test("multimodal: stub features deterministic, frames tile the payload exactly") {
+    val assets = Multimodal.assets(docs)
+    val f1 = Multimodal.extractFeatures(assets).select("asset_id", "features")
+      .as[(Long, Seq[Float])].collect().toMap
+    val f2 = Multimodal.extractFeatures(assets).select("asset_id", "features")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(f1 == f2, "stub decode deterministic")
+    assert(f1.values.forall(v => v.length == 8 && v.forall(x => x >= -1.0f && x <= 1.001f)))
+    val frames = Multimodal.sampleFrames(assets)
+    val rebuilt = frames.groupBy("asset_id")
+      .agg(sum(length(col("frame_payload"))).as("total"))
+    val orig = assets.select(col("asset_id"), length(col("payload")).as("orig"))
+    val mismatch = rebuilt.join(orig, "asset_id")
+      .filter(col("total") =!= col("orig")).count()
+    assert(mismatch == 0, "frame slices tile the payload with no loss/overlap")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.textops.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("exact dedup: survivor is min id, copies counted") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "A B C ")).toDF("id", "text")
+    val got = Dedup.exact(df, "id", "text").as[(Long, Long)].collect().toSet
+    // normalization folds case/trailing space: {1,2,4} collapse
+    assert(got == Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("minhash near-dup pairs == exact jaccard pairs on planted dups") {
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs.withColumn("_one", lit(1)),
+        "doc_id", "text", "_one", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture has planted near-dups")
+    assert(lsh == exact, s"LSH must recover exactly the >=0.8 pairs; " +
+      s"missed=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+  }
+
+  test("minhash dedup clusters: survivors = docs minus merged dups") {
+    val mapping = Dedup.minhashDedup(docs, "doc_id", "text", 0.8)
+    val n = docs.count()
+    val survivors = mapping.select("keep_id").distinct().count()
+    val merged = mapping.filter(col("doc_id") =!= col("keep_id")).count()
+    assert(survivors == n - merged)
+    assert(merged >= 20, s"planted dups merged, got $merged")
+  }
+
+  test("simhash: near-identical docs within small Hamming distance, pairs found") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = Dedup.ngramJaccardPairs(docs.withColumn("_one", lit(1)),
+        "doc_id", "text", "_one", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // simhash@hamming<=3 is a different similarity notion; require it to
+    // recover most of the >=0.95-jaccard planted dups with no explosion
+    val recall = planted.intersect(pairs).size.toDouble / math.max(planted.size, 1)
+    info(s"simhash pairs=${pairs.size} planted=${planted.size} recall=$recall")
+    assert(recall >= 0.7, s"recall $recall")
+    assert(pairs.size < 200, "no quadratic pair explosion")
+  }
+
+  test("embedding near-dup pairs verified by cosine") {
+    val pairs = Dedup.embeddingPairs(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding", 0.9)
+    val bad = pairs.filter(col("cosine") < 0.9).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprints: identical normalized docs share fp_content; shingle fp survives prefix edits") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "THE  quick brown fox jumps over the lazy dog today"), // case+space
+      (3L, "PREFIX the quick brown fox jumps over the lazy dog today"))
+      .toDF("id", "text")
+    val fp = TextAnalysis.fingerprints(df, "id", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(fp(0)._2 == fp(1)._2, "content fp identical after normalization")
+    assert(fp(0)._2 != fp(2)._2, "prefix changes content fp")
+    assert(fp(0)._3 == fp(2)._3, "min-shingle fp robust to prefix insertion")
+  }
+}
