@@ -20,9 +20,17 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
-  /** Cosine similarity of two equal-length numeric arrays, computed in
-    * double via higher-order functions (codegen-friendly, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two equal-length numeric arrays: native one-pass
+    * Catalyst expression ([[org.apache.spark.sql.graftfns.VectorExpressions]])
+    * — the HOF formulation below is interpreted per-element and ~100x
+    * slower on ANN scans. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftfns.VectorExpressions.cosine_fast(a, b)
+
+  /** Reference formulation via built-in higher-order functions — kept as
+    * the cross-check for the native expression (SimilaritySpec asserts
+    * equality) and as the no-custom-code fallback. */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
@@ -30,22 +38,10 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
 
-  /** Deterministic hyperplane component for (table t, plane p, dim j) in
-    * [-1, 1]. */
-  private def planeComponent(t: Int, p: Int, j: Column): Column =
-    (pmod(xxhash64(lit("hp"), lit(t), lit(p), j), lit(2001L)).cast("double") - 1000.0) / 1000.0
-
   /** m-bit random-hyperplane signature of a vector for hash table `t`:
-    * bit p = sign of dot(vec, plane_{t,p}). Returns a long (m <= 63). */
-  def hyperplaneSignature(vec: Column, m: Int = 16, t: Int = 0): Column = {
-    (0 until m).map { p =>
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * planeComponent(t, p, j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * bit p = sign of dot(vec, plane_{t,p}); native one-pass expression. */
+  def hyperplaneSignature(vec: Column, m: Int = 16, t: Int = 0): Column =
+    org.apache.spark.sql.graftfns.VectorExpressions.hyperplane_sig(vec, m, t)
 
   /**
    * Exact top-k neighbors by cosine for each query vector.

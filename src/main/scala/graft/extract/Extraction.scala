@@ -21,16 +21,17 @@ import org.apache.spark.sql.functions._
 object Extraction {
 
   /** Extraction rule: predicate name, anchored regex with two capture
-    * groups, subject entity type, object entity type. Mirrors the template
-    * dictionary the reference keeps for label inference
-    * (`DataToPattern.scala:9`, `Main.scala:17`). */
-  final case class Rule(pred: String, regex: String, subjType: String, objType: String)
+    * groups, the literal infix between the groups (fast path), subject and
+    * object entity types. Mirrors the template dictionary the reference
+    * keeps for label inference (`DataToPattern.scala:9`, `Main.scala:17`). */
+  final case class Rule(pred: String, regex: String, infix: String,
+                        subjType: String, objType: String)
 
   val rules: Seq[Rule] = Seq(
-    Rule("works_at",   "^(.{1,128}?) works at (.{1,128}?)\\.$",    "person", "org"),
-    Rule("lives_in",   "^(.{1,128}?) lives in (.{1,128}?)\\.$",    "person", "city"),
-    Rule("reports_to", "^(.{1,128}?) reports to (.{1,128}?)\\.$",  "person", "person"),
-    Rule("based_in",   "^(.{1,128}?) is based in (.{1,128}?)\\.$", "org",    "city"))
+    Rule("works_at",   "^(.{1,128}?) works at (.{1,128}?)\\.$",    " works at ",    "person", "org"),
+    Rule("lives_in",   "^(.{1,128}?) lives in (.{1,128}?)\\.$",    " lives in ",    "person", "city"),
+    Rule("reports_to", "^(.{1,128}?) reports to (.{1,128}?)\\.$",  " reports to ",  "person", "person"),
+    Rule("based_in",   "^(.{1,128}?) is based in (.{1,128}?)\\.$", " is based in ", "org",    "city"))
 
   /** Normalize a surface form for blocking/equality: lowercase, strip
     * punctuation, collapse whitespace. Pure string functions applied in a
@@ -44,26 +45,40 @@ object Extraction {
     concat(lit("graft://"), entityType, lit("/"), sha2(concat_ws("|", entityType, normForm), 256))
 
   /**
-   * Extract raw triples with provenance. One `select` per rule, unioned —
-   * Catalyst collapses each into a single projection over the scan, and the
-   * union is a narrow (no-shuffle) operator.
+   * Extract raw triples with provenance in ONE scan of the source: every
+   * rule is evaluated as a nullable struct per row, non-matches filtered
+   * inside the array, matches exploded. (A per-rule union would scan the
+   * 100 TB source once per rule; this shape reads it once and keeps all
+   * rule evaluation inside a single whole-stage-codegen projection.)
    *
    * Output: (conv_id, turn_idx, subj_raw, pred, obj_raw, subj_type, obj_type,
    *          subj_norm, obj_norm)
    */
   def triplesRaw(transcripts: DataFrame): DataFrame = {
-    val base = transcripts.select("conv_id", "turn_idx", "text")
-    rules.map { r =>
-      base
-        .filter(col("text").rlike(r.regex))
-        .select(
-          col("conv_id"), col("turn_idx"),
-          regexp_extract(col("text"), r.regex, 1).as("subj_raw"),
+    val ruleStructs = array(rules.map { r =>
+      // `contains` prefilter short-circuits the regex for the (majority)
+      // non-matching rows; the regex stays as the semantic guard; the
+      // capture groups themselves are literal string ops on the first
+      // infix occurrence — exactly what the non-greedy groups match
+      // (subj = text before first infix; obj = text after it, minus the
+      // anchored trailing '.').
+      val subj = substring_index(col("text"), r.infix, 1)
+      val objPos = length(subj) + lit(r.infix.length + 1)
+      val obj = col("text").substr(objPos, length(col("text")) - objPos)
+      when(col("text").contains(r.infix) && col("text").rlike(r.regex),
+        struct(
+          subj.as("subj_raw"),
           lit(r.pred).as("pred"),
-          regexp_extract(col("text"), r.regex, 2).as("obj_raw"),
+          obj.as("obj_raw"),
           lit(r.subjType).as("subj_type"),
-          lit(r.objType).as("obj_type"))
-    }.reduce(_ unionByName _)
+          lit(r.objType).as("obj_type")))
+        .otherwise(lit(null))
+    }: _*)
+    transcripts.select(col("conv_id"), col("turn_idx"),
+        explode(filter(ruleStructs, x => x.isNotNull)).as("m"))
+      .select(col("conv_id"), col("turn_idx"),
+        col("m.subj_raw"), col("m.pred"), col("m.obj_raw"),
+        col("m.subj_type"), col("m.obj_type"))
       .filter(col("subj_raw") =!= "" && col("obj_raw") =!= "")
       .withColumn("subj_norm", normalize(col("subj_raw")))
       .withColumn("obj_norm", normalize(col("obj_raw")))

@@ -44,20 +44,21 @@ object Canonicalize {
 
   /**
    * Rewrite raw triples onto canonical entities. The mention->canonical map
-   * is usually orders of magnitude smaller than the triple stream (distinct
-   * mentions vs occurrences) — broadcast it when below the AQE threshold;
-   * Catalyst/AQE decides from runtime stats, we only hint for the typical
-   * shape.
+   * is orders of magnitude smaller than the triple stream (distinct
+   * mentions vs occurrences) but NOT guaranteed broadcast-safe at 10^12
+   * turns (billions of distinct entities) — no broadcast hint here; AQE
+   * converts to broadcast-hash at runtime when the dict side is small, and
+   * falls back to shuffle join (with skew splitting) when it is not.
    */
   def canonicalTriples(triplesRaw: DataFrame, entities: DataFrame): DataFrame = {
     val dict = entities.select(
       col("mention_type"), col("norm"),
       col("canonical_id"), col("canonical_form"), col("canonical_uri"))
-    val subjDict = broadcast(dict).select(
+    val subjDict = dict.select(
       col("mention_type").as("subj_type"), col("norm").as("subj_norm"),
       col("canonical_id").as("subj_id"), col("canonical_form").as("subj"),
       col("canonical_uri").as("subj_uri"))
-    val objDict = broadcast(dict).select(
+    val objDict = dict.select(
       col("mention_type").as("obj_type"), col("norm").as("obj_norm"),
       col("canonical_id").as("obj_id"), col("canonical_form").as("obj"),
       col("canonical_uri").as("obj_uri"))

@@ -42,6 +42,8 @@ object ConnectedComponents {
 
     var converged = false
     var iter = 0
+    var prevSig = checksum(e)
+    if (prevSig._2 == 0) converged = true // no edges: all singletons
     while (!converged && iter < maxIter) {
       // --- large-star: connect every neighbor larger than u to u's minimum
       // neighborhood element. nbrs = both directions.
@@ -67,9 +69,10 @@ object ConnectedComponents {
         .localCheckpoint()
 
       // convergence: edge multiset fixpoint via order-insensitive checksum
-      val oldSig = checksum(e)
+      // (previous round's checksum is reused — one action per round)
       val newSig = checksum(ss)
-      converged = oldSig == newSig
+      converged = prevSig == newSig
+      prevSig = newSig
       e = ss
       iter += 1
     }

@@ -89,22 +89,28 @@ object MinHashBlocking {
         extraKey.map(col): _*)))
       .select(col("_band"), col(idCol).as("_id"), col(shinglesCol).as("_sh"))
 
-    // cap pathological buckets: keep at most maxBucket members per band key
-    // (row_number window; deterministic order by id)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("_band").orderBy("_id")
-    val capped = withBands.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= maxBucket).drop("_rn")
+    // drop pathological buckets entirely (a band bucket with >maxBucket
+    // members is a degenerate stop-shingle cluster; its pairs are spurious
+    // and quadratic). count+semi-join is cheaper than a row_number window:
+    // partial-aggregatable, no per-bucket sort.
+    val keepBuckets = withBands.groupBy("_band").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket)
+      .select("_band")
+    val capped = withBands.join(keepBuckets, Seq("_band"), "left_semi")
 
     val a = capped.select(col("_band"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val b = capped.select(col("_band"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    // verify Jaccard BEFORE the pair-dedup so the dedup shuffle carries
+    // (id,id,double) scalars, not two shingle arrays per row; a pair seen
+    // in several bands recomputes a deterministic jaccard — cheaper than
+    // shuffling the arrays
     a.join(b, Seq("_band"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "_sh_a", "_sh_b")
-      .dropDuplicates("id_a", "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
           size(array_union(col("_sh_a"), col("_sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.checkpoint.Checkpoint
+import graft.extract.Extraction
+import graft.ingest.Transcripts
+
+/**
+ * Batch-incremental KG construction: consume transcript increments one at a
+ * time, merging extracted state idempotently — the distributed rebuild of
+ * the reference's file-at-a-time loop with serialized driver state
+ * (cs562_sdpg `src2/main/scala/Main.scala:56-70,103-113`:
+ * LinkedHashMap + .ser checkpoint + parquet overwrite-union).
+ *
+ * State tables (all value-keyed, so replaying an increment is a no-op):
+ *  - `inc_triples`  keyed by (conv_id, turn_idx, subj_norm, pred, obj_norm)
+ *  - `inc_mentions` keyed by (mention_type, norm) with additive counts
+ *    recomputed from triples (counts are NOT merged additively — they are
+ *    re-derived, which keeps the merge idempotent under replays).
+ *
+ * After any number of increments, `finalize` runs the blocking +
+ * canonicalization + discovery stages over the accumulated state —
+ * identical results to a single batch run over the union (tested).
+ */
+object Incremental {
+
+  /** Ingest one increment (any transcript subset, possibly overlapping
+    * previously-seen turns). Returns the merged triple store. */
+  def ingest(spark: SparkSession, stateDir: String, increment: DataFrame): DataFrame = {
+    val triples = Extraction.triplesRaw(Transcripts.stableTurns(increment))
+    Checkpoint.mergeIncrement(spark, stateDir, "inc_triples", triples,
+      Seq("conv_id", "turn_idx", "subj_norm", "pred", "obj_norm"))
+  }
+
+  /** Run the full downstream pipeline over accumulated state. */
+  def finalizeGraph(spark: SparkSession, stateDir: String,
+                    cfg: KGPipeline.Config = KGPipeline.Config()): KGPipeline.Result = {
+    val triplesRaw = spark.read.parquet(Checkpoint.stagePath(stateDir, "inc_triples"))
+    KGPipeline.runFromTriples(spark, triplesRaw, cfg)
+  }
+}

@@ -27,7 +27,13 @@ object KGPipeline {
       jaccardThreshold: Double = 0.6,
       checkpointDir: Option[String] = None,
       shingleSize: Int = 3,
-      maxBucket: Int = 10000)
+      maxBucket: Int = 10000,
+      /** Cache DataFrames consumed by more than one downstream stage
+        * (triples_raw feeds mentions AND the canonical join; mentions feeds
+        * blocking AND entities). Without this the extraction DAG re-executes
+        * once per downstream action — the dominant cost at bench scale.
+        * Checkpointed runs get the same effect from the stage parquet. */
+      cacheIntermediate: Boolean = true)
 
   final case class Result(
       triplesRaw: DataFrame,
@@ -43,21 +49,35 @@ object KGPipeline {
 
   def run(spark: SparkSession, transcripts: DataFrame,
           cfg: Config = Config()): Result = {
+    def stage(name: String, parts: Seq[String] = Nil)(f: => DataFrame): DataFrame =
+      cfg.checkpointDir match {
+        case Some(d) => Checkpoint.stage(spark, d, name, parts)(f)
+        case None => f
+      }
+    val turns = Transcripts.stableTurns(transcripts)
+    runFromTriples(spark, stage("triples_raw") { Extraction.triplesRaw(turns) }, cfg)
+  }
+
+  /** Downstream stages over an already-extracted raw-triple table (entry
+    * point for the incremental path, [[Incremental.finalizeGraph]]). */
+  def runFromTriples(spark: SparkSession, triplesRawIn: DataFrame,
+                     cfg: Config = Config()): Result = {
 
     def stage(name: String, parts: Seq[String] = Nil)(f: => DataFrame): DataFrame =
       cfg.checkpointDir match {
         case Some(d) => Checkpoint.stage(spark, d, name, parts)(f)
         case None => f
       }
+    // multi-consumer stages: cache only when not already parquet-backed
+    def shared(df: DataFrame): DataFrame =
+      if (cfg.cacheIntermediate && cfg.checkpointDir.isEmpty) df.cache() else df
 
-    val turns = Transcripts.stableTurns(transcripts)
+    val triplesRaw = shared(triplesRawIn)
 
-    val triplesRaw = stage("triples_raw") { Extraction.triplesRaw(turns) }
-
-    val mentions = stage("mentions") {
+    val mentions = shared(stage("mentions") {
       Extraction.mentions(triplesRaw)
         .withColumn("shingles", MinHashBlocking.shingles(col("norm"), cfg.shingleSize))
-    }
+    })
 
     val pairs = stage("pairs") {
       MinHashBlocking.candidatePairs(
@@ -67,13 +87,13 @@ object KGPipeline {
         maxBucket = cfg.maxBucket)
     }
 
-    val entities = stage("entities") {
+    val entities = shared(stage("entities") {
       Canonicalize.entities(mentions.drop("shingles"), pairs)
-    }
+    })
 
-    val canonicalTriples = stage("canonical_triples") {
+    val canonicalTriples = shared(stage("canonical_triples") {
       Canonicalize.canonicalTriples(triplesRaw, entities)
-    }
+    })
 
     val nodes = stage("nodes") { Materialize.nodes(canonicalTriples, entities) }
     val edges = stage("edges") { Materialize.edges(canonicalTriples) }

@@ -87,6 +87,21 @@ object SchemaDiscovery {
   }
 
   /**
+   * Per-entity pattern strings — the reference's Pipeline-B pattern
+   * representation and merge (`src2/main/scala/Main.scala:174-176`,
+   * `normalizeAndMergePatterns`: union of '|'-split tokens, sorted,
+   * re-joined), rebuilt as `array_sort ∘ collect_set` inside the
+   * aggregation (SURVEY §2.9 M10) — no string round-trip until the final
+   * render.
+   *
+   * Input: canonical triples; output (subj, pattern) where pattern is the
+   * sorted '|'-joined set of outgoing predicates.
+   */
+  def entityPatterns(canonicalTriples: DataFrame): DataFrame =
+    canonicalTriples.groupBy(col("subj"))
+      .agg(concat_ws("|", array_sort(collect_set(col("pred")))).as("pattern"))
+
+  /**
    * Generic property-bag discovery (the reference's Pipeline-A core, A1+A2):
    * given a table with an id column, a ground-truth-free cluster column and
    * nullable property columns, emit per-cluster required property sets in ONE

@@ -112,6 +112,8 @@ object Dedup {
     val b = withSh.select(col("_blk"), col(idCol).as("id_b"), col("_sh").as("_sh_b"))
     a.join(b, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
+      // a pair may co-occur in several blocks (e.g. adjacent-bucket probes)
+      .dropDuplicates("id_a", "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
           size(array_union(col("_sh_a"), col("_sh_b"))).cast("double"))

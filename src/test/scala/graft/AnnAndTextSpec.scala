@@ -22,6 +22,15 @@ class AnnAndTextSpec extends SparkSpec {
     assert(got.toSeq == Seq(1.0, 0.0, 1.0, 0.0))
   }
 
+  test("native cosine expression == higher-order-function formulation") {
+    val diff = emb.limit(200).crossJoin(
+        emb.limit(5).select(col("embedding").as("e2")))
+      .select((Similarity.cosine(col("embedding"), col("e2")) -
+        Similarity.cosineHof(col("embedding"), col("e2"))).as("d"))
+      .agg(max(abs(col("d")))).as[Double].head()
+    assert(diff == 0.0, s"native vs HOF cosine drift: $diff")
+  }
+
   test("lsh ANN recall@10 >= 0.7 vs brute force, far fewer comparisons") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.fixtures.TranscriptGen
+import graft.pipeline.{Incremental, KGPipeline}
+import graft.streaming.StreamingIngest
+
+class StreamingAndIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming extraction: AvailableNow over parquet == batch extraction") {
+    val base = Files.createTempDirectory("graft_stream").toString
+    val in = s"$base/in"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    val tr = TranscriptGen.transcripts(spark, 100)
+    tr.write.mode("overwrite").parquet(in)
+    val q = StreamingIngest.startExtraction(spark, in, sink, ckpt)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(sink)
+    val batch = graft.extract.Extraction.triplesRaw(tr)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+
+    // resume: restarting with the same checkpoint must NOT duplicate rows
+    val q2 = StreamingIngest.startExtraction(spark, in, sink, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(sink).count() == batch.count(), "exactly-once")
+    // new file arrives -> only the delta is appended
+    TranscriptGen.transcripts(spark, 120).filter(col("conv_id") >= "conv_00000100")
+      .write.mode("append").parquet(in)
+    val q3 = StreamingIngest.startExtraction(spark, in, sink, ckpt)
+    q3.awaitTermination()
+    assert(spark.read.parquet(sink).count() > batch.count())
+  }
+
+  test("windowed turn-rate aggregation runs with watermark") {
+    val base = Files.createTempDirectory("graft_stream2").toString
+    val in = s"$base/in"
+    TranscriptGen.transcripts(spark, 50).write.mode("overwrite").parquet(in)
+    val q = StreamingIngest.turnRates(spark, in).writeStream
+      .format("memory").queryName("rates")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // append-mode windows only emit once the watermark passes; with a single
+    // AvailableNow batch the aggregation must at least run cleanly
+    assert(spark.table("rates").columns.toSeq ==
+      Seq("window_start", "role", "n_turns"))
+  }
+
+  test("incremental ingest: overlapping increments merge idempotently and " +
+    "finalize == single batch run") {
+    val stateDir = Files.createTempDirectory("graft_inc").toString
+    val all = TranscriptGen.transcripts(spark, 150).cache()
+    val inc1 = all.filter(col("conv_id") < "conv_00000080")
+    val inc2 = all.filter(col("conv_id") >= "conv_00000060") // overlaps inc1
+    Incremental.ingest(spark, stateDir, inc1)
+    Incremental.ingest(spark, stateDir, inc2)
+    // replay an increment entirely: state must not change
+    val before = Incremental.ingest(spark, stateDir, inc2).count()
+    val after = Incremental.ingest(spark, stateDir, inc2).count()
+    assert(before == after, "replayed increment is a no-op")
+
+    val incResult = Incremental.finalizeGraph(spark, stateDir)
+    val batchResult = KGPipeline.run(spark, all)
+    val pr = graft.eval.Metrics.setMatchPR(
+      incResult.tripleSet, batchResult.tripleSet, Seq("subj", "pred", "obj"))
+    assert(pr.f1 == 1.0, s"incremental == batch, got P=${pr.precision} R=${pr.recall}")
+  }
+}
