@@ -26,6 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // shuffle/spill on tmpfs: the sandbox disk sustains ~100 MB/s with high
+  // variance and throttles local shuffles; the box has 125 GiB RAM
+  "-Dspark.local.dir=/dev/shm/spark-local",
   // local mode: the forked JVM IS the whole cluster — size it like one
   // (8g starves a 32-thread run into GC thrash; box has 125g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",

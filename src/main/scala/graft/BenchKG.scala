@@ -26,6 +26,30 @@ object BenchKG {
     val tr = spark.read.parquet(s"$fixture/transcripts")
     t("count-input") { tr.count() }
     val turns = graft.ingest.Transcripts.stableTurns(tr)
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(length(col("text"))) + sum(length(col("role")))).head().getLong(0)
+    // V1: window row_number (Spark 4 plans WindowGroupLimit)
+    val v1 = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("conv_id", "turn_idx").orderBy(col("ts"), col("text"))
+      tr.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }
+    // V2: min_by struct (current stableTurns)
+    val v2 = graft.ingest.Transcripts.stableTurns(tr)
+    // V3: scalar two-phase (min ts, then min text-hash) + dropDuplicates
+    val v3 = {
+      val k = Seq("conv_id", "turn_idx")
+      val minTs = tr.groupBy(k.map(col): _*).agg(min(col("ts")).as("_mts"))
+      val c1 = tr.join(minTs, k).filter(col("ts") === col("_mts"))
+      val minH = c1.groupBy(k.map(col): _*).agg(min(xxhash64(col("text"))).as("_mh"))
+      c1.join(minH, k).filter(xxhash64(col("text")) === col("_mh"))
+        .dropDuplicates(k).drop("_mts", "_mh")
+    }
+    t("v1-window") { force(v1) }
+    t("v2-minby-struct") { force(v2) }
+    t("v3-scalar-2phase") { force(v3) }
+    t("extract-no-dedup") { graft.extract.Extraction.triplesRaw(tr).count() }
+    t("extract-composed-nocache") { graft.extract.Extraction.triplesRaw(turns).count() }
     val raw0 = graft.extract.Extraction.triplesRaw(turns)
     val raw = if (useCache) raw0.cache() else raw0
     t("extract+count") { raw.count() }

@@ -39,7 +39,7 @@ object SparkEntry {
   private def eventsPipeline(s: SparkSession, dir: String): KGPipeline.Result =
     pipelineMemo.getOrElseUpdate((System.identityHashCode(s), dir),
       KGPipeline.run(s, eventsTranscripts(s, dir),
-        KGPipeline.Config(jaccardThreshold = 0.95)))
+        KGPipeline.Config(jaccardThreshold = 0.95, cacheLarge = true)))
 
   /** Exact decimal-backed double sum (associative on both engines). */
   private def dsum(c: org.apache.spark.sql.Column) =

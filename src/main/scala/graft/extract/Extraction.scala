@@ -74,8 +74,15 @@ object Extraction {
           lit(r.objType).as("obj_type")))
         .otherwise(lit(null))
     }: _*)
-    transcripts.select(col("conv_id"), col("turn_idx"),
-        explode(filter(ruleStructs, x => x.isNotNull)).as("m"))
+    transcripts
+      // materialize the rule matches in their own (whole-stage-codegen'd)
+      // projection; the Generate below then explodes a plain column —
+      // keeping the regex/string work out of GenerateExec's interpreted
+      // generator evaluation
+      .select(col("conv_id"), col("turn_idx"),
+        filter(ruleStructs, x => x.isNotNull).as("_matches"))
+      .filter(size(col("_matches")) > 0)
+      .select(col("conv_id"), col("turn_idx"), explode(col("_matches")).as("m"))
       .select(col("conv_id"), col("turn_idx"),
         col("m.subj_raw"), col("m.pred"), col("m.obj_raw"),
         col("m.subj_type"), col("m.obj_type"))

@@ -26,18 +26,15 @@ object Transcripts {
     spark.read.parquet(path).select(contractCols.map(col): _*)
 
   /** Deterministic dedup to one row per (conv_id, turn_idx): earliest
-    * (ts, text) wins. Implemented as a hash aggregation with `min_by` over
-    * a struct rather than a row_number window — same winner, but partial
-    * aggregation map-side and NO global sort (the window variant sorts the
-    * full 10^12-turn table inside every partition; at bench scale the sort
-    * alone dominated extraction wall time). */
+    * (ts, text) wins. row_number + filter rn=1 is planned by Spark 4 as
+    * WindowGroupLimit (streaming per-group top-1, no full-frame
+    * materialization) — measured faster than both a min_by(struct)
+    * SortAggregate and a scalar two-phase agg+join at 12M turns. */
   def stableTurns(transcripts: DataFrame): DataFrame = {
-    val payload = struct(col("role"), col("text"), col("tool"), col("ts"))
-    transcripts
-      .groupBy(col("conv_id"), col("turn_idx"))
-      .agg(min_by(payload, struct(col("ts"), col("text"))).as("_p"))
-      .select(col("conv_id"), col("turn_idx"),
-        col("_p.role"), col("_p.text"), col("_p.tool"), col("_p.ts"))
+    val w = Window.partitionBy("conv_id", "turn_idx")
+      .orderBy(col("ts").asc_nulls_last, col("text").asc_nulls_last)
+    transcripts.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
   }
 
   /**

@@ -28,12 +28,16 @@ object KGPipeline {
       checkpointDir: Option[String] = None,
       shingleSize: Int = 3,
       maxBucket: Int = 10000,
-      /** Cache DataFrames consumed by more than one downstream stage
-        * (triples_raw feeds mentions AND the canonical join; mentions feeds
-        * blocking AND entities). Without this the extraction DAG re-executes
-        * once per downstream action — the dominant cost at bench scale.
-        * Checkpointed runs get the same effect from the stage parquet. */
-      cacheIntermediate: Boolean = true)
+      /** Cache the SMALL multi-consumer stages (mentions, entities — a few
+        * rows per distinct normalized mention). Checkpointed runs get the
+        * same effect from the stage parquet. */
+      cacheIntermediate: Boolean = true,
+      /** Also cache the LARGE stages (triples_raw, canonical_triples).
+        * Measured: the columnar cache build of an 8M-row triple table costs
+        * more than recomputing its (codegen) extraction DAG twice — so this
+        * is off by default and only worth it when MANY consumers follow
+        * (e.g. the driver-contract kg4/kg5/kg6/kg7 query family). */
+      cacheLarge: Boolean = false)
 
   final case class Result(
       triplesRaw: DataFrame,
@@ -71,8 +75,10 @@ object KGPipeline {
     // multi-consumer stages: cache only when not already parquet-backed
     def shared(df: DataFrame): DataFrame =
       if (cfg.cacheIntermediate && cfg.checkpointDir.isEmpty) df.cache() else df
+    def sharedLarge(df: DataFrame): DataFrame =
+      if (cfg.cacheLarge && cfg.checkpointDir.isEmpty) df.cache() else df
 
-    val triplesRaw = shared(triplesRawIn)
+    val triplesRaw = sharedLarge(triplesRawIn)
 
     val mentions = shared(stage("mentions") {
       Extraction.mentions(triplesRaw)
@@ -91,7 +97,7 @@ object KGPipeline {
       Canonicalize.entities(mentions.drop("shingles"), pairs)
     })
 
-    val canonicalTriples = shared(stage("canonical_triples") {
+    val canonicalTriples = sharedLarge(stage("canonical_triples") {
       Canonicalize.canonicalTriples(triplesRaw, entities)
     })
 
