@@ -117,7 +117,7 @@ object Bench {
     val loadStart = load1
     // headline throughput: one pass over the big fixture at full threads
     val (wallFull, turnsFull, triplesFull, hwHigh) =
-      timed(cpus, cpus * 2, s"$fixtureDir/big", trials = 1)
+      timed(cpus, cpus * 2, s"$fixtureDir/big")
     // scaling pairs on the small fixture, best-of-2 per level
     val (wallS2, _, triplesS, hwS2) = timed(2, 16, s"$fixtureDir/small")
     val (wallS8, _, _, hwS8) = timed(8, 16, s"$fixtureDir/small")

@@ -111,4 +111,13 @@ object VectorExpressions {
       ExpressionUtils.expression(lit(bits)),
       ExpressionUtils.expression(lit(table))))
   }
+
+  /** Register both as SQL functions on a session (usable from spark.sql). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_fast",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_sig",
+      exprs => HyperplaneSignature(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
 }

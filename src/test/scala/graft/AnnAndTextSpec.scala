@@ -31,6 +31,17 @@ class AnnAndTextSpec extends SparkSpec {
     assert(diff == 0.0, s"native vs HOF cosine drift: $diff")
   }
 
+  test("native functions callable from SQL after registration") {
+    org.apache.spark.sql.graftfns.VectorExpressions.register(spark)
+    emb.limit(10).createOrReplaceTempView("emb_sql_test")
+    val r = spark.sql(
+      """SELECT vec_id, cosine_fast(embedding, embedding) AS self_cos,
+        |       hyperplane_sig(embedding, 8, 0) AS sig
+        |FROM emb_sql_test""".stripMargin).collect()
+    assert(r.length == 10)
+    assert(r.forall(row => math.abs(row.getDouble(1) - 1.0) < 1e-9))
+  }
+
   test("lsh ANN recall@10 >= 0.7 vs brute force, far fewer comparisons") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
