@@ -119,9 +119,9 @@ object Bench {
     val (wallFull, turnsFull, triplesFull, hwHigh) =
       timed(cpus, cpus * 2, s"$fixtureDir/big")
     // scaling pairs on the small fixture, best-of-2 per level
-    val (wallS2, _, triplesS, hwS2) = timed(2, 16, s"$fixtureDir/small")
-    val (wallS8, _, _, hwS8) = timed(8, 16, s"$fixtureDir/small")
-    val (wallS32, _, _, hwS32) = timed(cpus, 16, s"$fixtureDir/small")
+    val (wallS2, _, triplesS, hwS2) = timed(2, 16, s"$fixtureDir/small", trials = 3)
+    val (wallS8, _, _, hwS8) = timed(8, 16, s"$fixtureDir/small", trials = 3)
+    val (wallS32, _, _, hwS32) = timed(cpus, 16, s"$fixtureDir/small", trials = 3)
     val (pairPrimary, effPrimary) =
       pairJson(2, 8, wallS2, wallS8, hwS2, hwS8, triplesS)
     val (pairWide, _) =
