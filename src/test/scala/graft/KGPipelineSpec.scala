@@ -74,6 +74,12 @@ class KGPipelineSpec extends SparkSpec {
     assert(kept.contains("reports_to"))
   }
 
+  test("driver contract: SparkEntry.entry returns a non-empty triple set") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq == Seq("subj", "pred", "obj"))
+    assert(df.count() > 0)
+  }
+
   test("determinism: rerunning the pipeline yields the identical triple set") {
     val again = KGPipeline.run(spark, transcripts)
     assert(Metrics.triplePR(again.tripleSet, result.tripleSet).f1 == 1.0)
