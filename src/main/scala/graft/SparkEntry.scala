@@ -161,6 +161,36 @@ object SparkEntry {
       graft.eval.Metrics.clusterMajorityCounts(assignments)
     }),
 
+    // multi-level aggregation (rollup): per (status, priority) with
+    // subtotals — beyond the reference's flat groupBys (SURVEY §2.4 notes
+    // grouping sets absent there)
+    "q9_rollup" -> ((s, dir) => tbl(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))),
+
+    // sessionization: gap-based session windows over the events stream
+    // (lag + cumulative sum of gap flags), the standard telemetry shape
+    "q10_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tsUs = unix_micros(col("ts").cast("timestamp_ltz"))
+      tbl(s, dir, "events")
+        .withColumn("_us", tsUs)
+        .withColumn("_prev", lag("_us", 1).over(w))
+        .withColumn("_new", when(col("_prev").isNull ||
+          col("_us") - col("_prev") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_idx", sum("_new").over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"),
+          (max(col("_us")) - min(col("_us"))).as("duration_us"))
+    }),
+
     // ---- training-data pipeline: deduplication ----
 
     // exact dedup: survivor per normalized text (input = two "snapshots")
@@ -373,6 +403,29 @@ object SparkEntry {
         |fnv AS (SELECT CAST(SUM(total_actual - COALESCE(total_predicted, 0)) AS BIGINT) AS fn
         |        FROM ta LEFT JOIN tpred ON ta.actual = tpred.mt)
         |SELECT tp, fp, fn FROM tpfp, fnv""".stripMargin,
+
+    "q9_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q10_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessioned AS (
+        |  SELECT user_id, us, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+        |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+        |FROM sessioned GROUP BY 1, 2""".stripMargin,
 
     "dd1_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM (
