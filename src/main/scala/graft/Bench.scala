@@ -53,11 +53,27 @@ object Bench {
       else 2000L
 
     // ---- section 1: headline queries ----
+    // Forcing: hash EVERY output column into a bounded sum — .count() lets
+    // Catalyst prune unevaluated projections, so pure per-row selects would
+    // time a row count, not their expressions. pmod bounds the sum (ANSI
+    // long-overflow throws). A failed query records -1 and lands in
+    // "errors" instead of silently reporting a fast timing.
     var spark = session(cpus, cpus)
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try {
+        fn(spark, sfDir)
+          .select(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))).as("_force"))
+          .head()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"bench query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        errors += name
+        false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // ---- section 2: KG throughput (big fixture, full parallelism) ----
@@ -130,7 +146,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val kg =
       s"""{"turns":$turnsFull,"triples":$triplesFull,"wall_sec":$wallFull,""" +
         s""""turns_per_sec":${turnsFull / wallFull},"triples_per_sec":${triplesFull / wallFull}}"""
@@ -139,7 +156,7 @@ object Bench {
         s""""wide_pair":$pairWide,"hw_probe_high_sec":$hwHigh,""" +
         s""""host_load1_start":$loadStart,"host_load1_end":$loadEnd}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","kg":$kg,"scaling":$scaling}""")
+      s""""errors":$errJson,"sf":"$sfDir","kg":$kg,"scaling":$scaling}""")
   }
 
   /** Pure-CPU Spark job (fixed work, no shuffle): measures what the box

@@ -33,13 +33,23 @@ object SparkEntry {
 
   // kg4/kg5/kg6 are views over ONE pipeline execution — memoized per
   // (session, sfDir) so the harness timing reflects shared stages the way a
-  // real deployment runs them (cached DataFrames die with their session).
+  // real deployment runs them. Keyed by the session OBJECT in a weak map:
+  // identity hashes collide, and a strong key would retain dead sessions'
+  // cached DataFrames forever.
   private val pipelineMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), KGPipeline.Result]
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, KGPipeline.Result]]()
   private def eventsPipeline(s: SparkSession, dir: String): KGPipeline.Result =
-    pipelineMemo.getOrElseUpdate((System.identityHashCode(s), dir),
-      KGPipeline.run(s, eventsTranscripts(s, dir),
-        KGPipeline.Config(jaccardThreshold = 0.95, cacheLarge = true)))
+    pipelineMemo.synchronized {
+      val perSession = {
+        val m = pipelineMemo.get(s)
+        if (m != null) m
+        else { val m2 = scala.collection.mutable.Map.empty[String, KGPipeline.Result]
+               pipelineMemo.put(s, m2); m2 }
+      }
+      perSession.getOrElseUpdate(dir,
+        KGPipeline.run(s, eventsTranscripts(s, dir),
+          KGPipeline.Config(jaccardThreshold = 0.95, cacheLarge = true)))
+    }
 
   /** Exact decimal-backed double sum (associative on both engines). */
   private def dsum(c: org.apache.spark.sql.Column) =
@@ -271,9 +281,14 @@ object SparkEntry {
       .select(col("asset_id"), col("frame_idx"),
         length(col("frame_payload")).as("frame_bytes"))),
 
-    // stub feature extraction (rows-only: deterministic fake decode)
+    // stub feature extraction, exploded to oracle-comparable scalars
+    // (asset_id, modality, payload_bytes, dim, value): the md5-derived stub
+    // is re-derivable in DuckDB, so this is a FULL rows+schema+hash check
     "mm3_features" -> ((s, dir) => graft.multimodal.Multimodal
-      .extractFeatures(graft.multimodal.Multimodal.assets(tbl(s, dir, "documents"))))
+      .extractFeatures(graft.multimodal.Multimodal.assets(tbl(s, dir, "documents")))
+      .select(col("asset_id"), col("modality"), col("payload_bytes"),
+        posexplode(col("features")).as(Seq("dim", "value")))
+      .withColumn("value", round(col("value").cast("double"), 3)))
   )
 
   // DuckDB oracles. The KG oracles re-derive expected outputs directly from
@@ -537,6 +552,15 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
         |  least(256, length(text) - CAST(i AS INT) * 256) AS frame_bytes
         |FROM documents,
-        |  LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 256.0) AS INT))) AS i) r""".stripMargin
+        |  LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 256.0) AS INT))) AS i) r""".stripMargin,
+
+    "mm3_features" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  length(text) AS payload_bytes, CAST(i AS INT) AS dim,
+        |  round(CAST(rpad(regexp_replace(
+        |      md5(text || '|' || CAST(i AS VARCHAR)), '[a-f]', '', 'g'), 6, '0') AS INT)
+        |    % 2001 / 1000.0 - 1.0, 3) AS value
+        |FROM documents, LATERAL (SELECT unnest(range(0, 8)) AS i) r""".stripMargin
   )
 }

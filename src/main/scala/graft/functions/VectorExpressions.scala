@@ -40,14 +40,18 @@ object VectorExpressions {
   }
 
   /** cosine(a, b) over two numeric arrays, one pass, null if either side is
-    * null; 0.0 for zero-norm inputs (same contract as the HOF version). */
+    * null OR the lengths differ; 0.0 for zero-norm inputs (same contract as
+    * the HOF version, where zip_with pads the shorter side with nulls and
+    * the whole aggregate collapses to null). */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
       val at = elemType(left.dataType); val bt = elemType(right.dataType)
-      val n = math.min(a.numElements(), b.numElements())
+      if (a.numElements() != b.numElements()) return null
+      val n = a.numElements()
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < n) {
         val x = toDouble(a, i, at); val y = toDouble(b, i, bt)

@@ -25,20 +25,26 @@ object ConnectedComponents {
   /**
    * @param edges DataFrame with two long columns `src`, `dst` (undirected).
    * @return DataFrame (id: long, component: long) where component is the
-   *         minimum vertex id of the component. Isolated vertices of the
-   *         input edge list map to themselves.
+   *         minimum vertex id of the component. NOTE: vertices whose only
+   *         incident edges are self-loops are dropped (self-loops are
+   *         filtered before the fixpoint); use [[components]] to attach
+   *         singleton components to a vertex table via coalesce.
    */
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // canonical undirected form: (u > v), self-loops dropped
+    // canonical undirected form: (u > v), self-loops dropped.
+    // localCheckpoint(eager=false): the RDD materializes lazily under the
+    // checksum action below — ONE job per round (materialize + converge
+    // check together) instead of two, which matters because round jobs on a
+    // shrinking edge set are scheduling-latency-bound, not compute-bound.
     var e = edges.select(
         greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .filter($"u" =!= $"v")
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     var converged = false
     var iter = 0
@@ -66,15 +72,23 @@ object ConnectedComponents {
         .filter($"a" =!= $"b")
         .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
 
-      // convergence: edge multiset fixpoint via order-insensitive checksum
-      // (previous round's checksum is reused — one action per round)
+      // convergence: edge multiset fixpoint via order-insensitive checksum.
+      // This single action also materializes the lazy checkpoint above —
+      // one job per round total.
       val newSig = checksum(ss)
       converged = prevSig == newSig
       prevSig = newSig
       e = ss
       iter += 1
+    }
+    if (!converged) {
+      // non-convergence means the returned assignments may be wrong —
+      // surface it loudly rather than silently returning a non-star edge set
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ConnectedComponents: maxIter=$maxIter reached without fixpoint " +
+          s"(${prevSig._2} edges remain); component assignments may be incomplete")
     }
 
     // at fixpoint every component is a star centered at its minimum:

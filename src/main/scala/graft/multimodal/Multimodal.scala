@@ -36,12 +36,18 @@ object Multimodal {
   }
 
   /** STUB decode -> fixed-size float feature vector. Deterministic fake:
-    * k pseudo-random floats seeded by the payload digest. Replace the
-    * xxhash64 expression with a real decoder UDF/mapInArrow batch to go
-    * live; the signature (binary -> array<float>) is the contract. */
+    * k pseudo-random floats in [-1, 1.001] derived from md5 of the payload
+    * (md5 so an external engine can re-derive the exact values for oracle
+    * checks: digit-extract the hex, take 6 digits, mod 2001). Replace this
+    * expression with a real decoder UDF/mapInArrow batch to go live; the
+    * signature (binary -> array<float>) is the contract. */
   def stubFeatures(payload: Column, k: Int = 8): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => (pmod(xxhash64(payload, i), lit(2001L)).cast("double") / 1000.0 - 1.0)
+      i => (pmod(
+        rpad(regexp_replace(
+          md5(concat_ws("|", payload.cast("string"), i.cast("string"))),
+          "[a-f]", ""), 6, "0").cast("int"),
+        lit(2001)).cast("double") / 1000.0 - 1.0)
         .cast("float"))
 
   /** STUB frame sampling: one "frame" per `frameBytes` window of the
@@ -58,11 +64,13 @@ object Multimodal {
   }
 
   /** Distributed feature extraction over assets: payload -> features,
-    * keeping metadata; repartitioned by a payload-size-aware key so large
-    * assets spread evenly (skew control for multi-GB videos). */
+    * keeping metadata. Purely per-row, so NO repartition: at 100 TB of
+    * video an exchange here would shuffle every payload byte for nothing.
+    * (If a downstream per-partition batch op — e.g. a GPU decoder batching
+    * by modality — is added, repartition there, where the cost buys
+    * something.) */
   def extractFeatures(assetsDf: DataFrame, k: Int = 8): DataFrame = {
     assetsDf
-      .repartition(col("modality"), pmod(xxhash64(col("asset_id")), lit(64)))
       .select(col("asset_id"), col("modality"),
         length(col("payload")).as("payload_bytes"),
         stubFeatures(col("payload"), k).as("features"))

@@ -112,27 +112,54 @@ object Dedup {
     val b = withSh.select(col("_blk"), col(idCol).as("id_b"), col("_sh").as("_sh_b"))
     a.join(b, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
-      // a pair may co-occur in several blocks (e.g. adjacent-bucket probes)
-      .dropDuplicates("id_a", "id_b")
+      // verify FIRST (jaccard is deterministic, safe to recompute for a pair
+      // that co-occurs in several blocks), THEN dedup — so the dedup
+      // exchange carries three scalars per surviving pair, never the two
+      // ~300-element shingle arrays per candidate (the ordering lesson from
+      // MinHashBlocking.candidatePairs)
       .withColumn("jaccard",
         size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
           size(array_union(col("_sh_a"), col("_sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .dropDuplicates("id_a", "id_b")
   }
 
-  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets then
-    * exact cosine verify within buckets (see [[graft.ann.Similarity]]). */
+  /**
+   * Embedding-cosine near-duplicate pairs: multi-table hyperplane LSH with
+   * 1-bit multiprobe, then exact cosine verify within probed buckets — the
+   * same index shape as [[graft.ann.Similarity.lshTopK]] (a single
+   * exact-signature table has ~p^bits recall: at cos=0.9 with 16 planes that
+   * is ~8%, useless).
+   *
+   * Recall: per-bit agreement p = 1 - acos(cos)/pi; a true pair collides in
+   * one table w.p. p^m + m*p^(m-1)*(1-p) (exact or any 1-bit probe); across
+   * T independent tables 1-(1-that)^T. Defaults (m=8, T=8) give >0.999 at
+   * cos=0.9 (p=0.856). At 10^9+ rows raise `bits` (~log2(N/targetBucket))
+   * and `tables` together to hold recall while bounding bucket sizes.
+   *
+   * Ordering: cosine-verify BEFORE the cross-table pair dedup, so the dedup
+   * exchange carries (id_a, id_b, cosine) scalars — never the vectors.
+   */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     minCosine: Double, planes: Int = 16): DataFrame = {
-    val sig = graft.ann.Similarity.hyperplaneSignature(col(vecCol), planes)
-    val withSig = df.select(col(idCol), col(vecCol), sig.as("_sig"))
-    val a = withSig.select(col("_sig"), col(idCol).as("id_a"), col(vecCol).as("_v_a"))
-    val b = withSig.select(col("_sig"), col(idCol).as("id_b"), col(vecCol).as("_v_b"))
-    a.join(b, Seq("_sig"))
+                     minCosine: Double, bits: Int = 8, tables: Int = 8): DataFrame = {
+    val indexed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          graft.ann.Similarity.hyperplaneSignature(col(vecCol), bits, t).as("sig"))): _*)).as("_b"))
+      .select(col("_id"), col("_v"), col("_b.t").as("_t"), col("_b.sig").as("_s0"))
+    val a = indexed.select(col("_t"), col("_s0").as("_sig"),
+      col("_id").as("id_a"), col("_v").as("_v_a"))
+    // probe side: own bucket plus every 1-bit-flip bucket
+    val b = indexed.withColumn("_sig",
+        explode(array(col("_s0") +: (0 until bits).map(bp =>
+          col("_s0").bitwiseXOR(shiftleft(lit(1L), bp))): _*)))
+      .select(col("_t"), col("_sig"), col("_id").as("id_b"), col("_v").as("_v_b"))
+    a.join(b, Seq("_t", "_sig"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", graft.ann.Similarity.cosine(col("_v_a"), col("_v_b")))
+      .withColumn("cosine", round(graft.ann.Similarity.cosine(col("_v_a"), col("_v_b")), 6))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
+      .dropDuplicates("id_a", "id_b")
   }
 }

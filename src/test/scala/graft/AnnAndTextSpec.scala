@@ -31,6 +31,15 @@ class AnnAndTextSpec extends SparkSpec {
     assert(diff == 0.0, s"native vs HOF cosine drift: $diff")
   }
 
+  test("native cosine == HOF on mismatched-length arrays: both null") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()(0)
+    assert(got.isNullAt(0), "native cosine must be null on dimension mismatch")
+    assert(got.isNullAt(1), "HOF cosine is null on dimension mismatch (contract)")
+  }
+
   test("native functions callable from SQL after registration") {
     org.apache.spark.sql.graftfns.VectorExpressions.register(spark)
     emb.limit(10).createOrReplaceTempView("emb_sql_test")

@@ -48,6 +48,12 @@ class PlanSpec extends SparkSpec {
       s"expected WindowGroupLimit (streaming top-1 per group); got:\n${p.take(800)}")
   }
 
+  test("mm3: feature extraction is exchange-free (per-row transform, no shuffle)") {
+    val p = plan(SparkEntry.queries("mm3_features")(spark, dir))
+    assert(!p.contains("Exchange"),
+      s"extractFeatures must not shuffle payload bytes; got:\n${p.take(1200)}")
+  }
+
   test("ann1: query side broadcast, corpus never shuffled for the join") {
     val p = plan(SparkEntry.queries("ann1_brute_topk")(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
