@@ -36,7 +36,7 @@ object Incremental {
   /** Run the full downstream pipeline over accumulated state. */
   def finalizeGraph(spark: SparkSession, stateDir: String,
                     cfg: KGPipeline.Config = KGPipeline.Config()): KGPipeline.Result = {
-    val triplesRaw = spark.read.parquet(Checkpoint.stagePath(stateDir, "inc_triples"))
+    val triplesRaw = Checkpoint.readMerged(spark, stateDir, "inc_triples")
     KGPipeline.runFromTriples(spark, triplesRaw, cfg)
   }
 }

@@ -20,7 +20,15 @@ class CheckpointSpec extends SparkSpec {
     assert(first.count() == 100 && computions == 1)
     val second = Checkpoint.stage(spark, dir, "s1")(compute().toDF())
     assert(second.count() == 100 && computions == 1, "resume must not recompute")
-    assert(Checkpoint.recordedRows(dir, "s1").contains(100L))
+    assert(Checkpoint.recordedRows(spark, dir, "s1").contains(100L))
+  }
+
+  test("stage works against an explicit Hadoop file: URI (FileSystem API, not java.nio)") {
+    val dir = "file:" + tmpDir()
+    val df = Checkpoint.stage(spark, dir, "s_fs")(spark.range(7).toDF())
+    assert(df.count() == 7)
+    assert(Checkpoint.isComplete(spark, dir, "s_fs"))
+    assert(Checkpoint.recordedRows(spark, dir, "s_fs").contains(7L))
   }
 
   test("mergeIncrement: idempotent value-dedup merge (E1 semantics)") {
@@ -31,7 +39,32 @@ class CheckpointSpec extends SparkSpec {
     assert(Checkpoint.mergeIncrement(spark, dir, "m", inc2, Seq("k", "v")).count() == 3)
     // replaying an increment is a no-op
     assert(Checkpoint.mergeIncrement(spark, dir, "m", inc2, Seq("k", "v")).count() == 3)
-    assert(Checkpoint.recordedRows(dir, "m").contains(3L))
+    assert(Checkpoint.recordedRows(spark, dir, "m").contains(3L))
+    assert(Checkpoint.readMerged(spark, dir, "m").count() == 3)
+  }
+
+  test("mergeIncrement: crash windows never lose committed state") {
+    val dir = tmpDir()
+    val root = new org.apache.hadoop.fs.Path(Checkpoint.stagePath(dir, "m"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Checkpoint.mergeIncrement(spark, dir, "m", Seq((1L, "a")).toDF("k", "v"), Seq("k", "v"))
+    Checkpoint.mergeIncrement(spark, dir, "m", Seq((2L, "b")).toDF("k", "v"), Seq("k", "v"))
+
+    // crash DURING the next version's data write: a half-written v_00003
+    // (no _SUCCESS) must be ignored and the committed state still readable
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v_00003"))
+    assert(Checkpoint.readMerged(spark, dir, "m").count() == 2)
+
+    // crash BETWEEN pointer delete and rename: _current missing — recovery
+    // must pick the highest COMMITTED version, not the half-written one
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_current"), false)
+    assert(Checkpoint.readMerged(spark, dir, "m").count() == 2)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "v_00003"), true)
+
+    // and the next merge after recovery proceeds normally
+    val merged = Checkpoint.mergeIncrement(
+      spark, dir, "m", Seq((3L, "c")).toDF("k", "v"), Seq("k", "v"))
+    assert(merged.count() == 3)
   }
 
   test("kill-and-resume: pipeline restarted mid-way reuses completed stages") {
@@ -50,8 +83,8 @@ class CheckpointSpec extends SparkSpec {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.deleteIfExists(f))
     }
-    assert(Checkpoint.isComplete(dir, "mentions"))
-    assert(!Checkpoint.isComplete(dir, "pairs"))
+    assert(Checkpoint.isComplete(spark, dir, "mentions"))
+    assert(!Checkpoint.isComplete(spark, dir, "pairs"))
     val r2 = KGPipeline.run(spark, tr, cfg)
     val triples2 = r2.tripleSet.collect().map(_.toSeq).toSet
     assert(triples2 == triples1, "resumed output identical")
