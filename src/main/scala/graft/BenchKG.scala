@@ -28,13 +28,14 @@ object BenchKG {
     val turns = graft.ingest.Transcripts.stableTurns(tr)
     def force(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(sum(length(col("text"))) + sum(length(col("role")))).head().getLong(0)
-    // V1: window row_number (Spark 4 plans WindowGroupLimit)
+    // V1: inline window row_number (Spark 4 plans WindowGroupLimit)
     val v1 = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("conv_id", "turn_idx").orderBy(col("ts"), col("text"))
       tr.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     }
-    // V2: min_by struct (current stableTurns)
+    // V2: the shipped stableTurns — SAME window shape as V1 (it replaced an
+    // earlier min_by(struct) variant after this bench showed the window wins)
     val v2 = graft.ingest.Transcripts.stableTurns(tr)
     // V3: scalar two-phase (min ts, then min text-hash) + dropDuplicates
     val v3 = {
@@ -45,8 +46,8 @@ object BenchKG {
       c1.join(minH, k).filter(xxhash64(col("text")) === col("_mh"))
         .dropDuplicates(k).drop("_mts", "_mh")
     }
-    t("v1-window") { force(v1) }
-    t("v2-minby-struct") { force(v2) }
+    t("v1-window-inline") { force(v1) }
+    t("v2-stableTurns") { force(v2) }
     t("v3-scalar-2phase") { force(v3) }
     t("extract-no-dedup") { graft.extract.Extraction.triplesRaw(tr).count() }
     t("extract-composed-nocache") { graft.extract.Extraction.triplesRaw(turns).count() }

@@ -160,6 +160,30 @@ object SparkEntry {
         eventsPipeline(s, dir).canonicalTriples)
         .groupBy("pattern").agg(count(lit(1)).as("n_entities"))),
 
+    // generalized schemaless pattern extraction (DataToPattern.scala:11-79):
+    // two derived "unknown tables" — one header-labeled with an edge column,
+    // one value-labeled with an UnknownNodeLabel tail — through the
+    // dictionary scan + per-row (label, props, edges) census
+    "kg8_untyped_patterns" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val partA = d.select(
+        col("doc_id").cast("string").as("id"),
+        col("source").as("title"),
+        when(pmod(col("doc_id"), lit(7)) =!= 0, col("n_chars")).as("n_chars"),
+        when(pmod(col("doc_id"), lit(5)) < 2,
+          concat(lit("u"), pmod(col("doc_id"), lit(7)))).as("person_ref"))
+      val partB = d.select(
+        col("doc_id").cast("string").as("id"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("a Person entry"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit("some organization"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, col("lang")).as("kind"),
+        col("n_chars").as("size"))
+      import graft.schemadisc.PatternExtraction
+      PatternExtraction.census(
+        PatternExtraction.rowPatterns(partA)
+          .unionByName(PatternExtraction.rowPatterns(partB)))
+    }),
+
     // cluster-majority evaluation — the reference's most relational plan
     // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
     // inner/left-outer joins + coalesce, as one DataFrame
@@ -237,6 +261,19 @@ object SparkEntry {
     "dd5_embed_pairs" -> ((s, dir) =>
       graft.textops.Dedup.embeddingPairs(
         tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.9)),
+
+    // Euclidean (bucketed-random-projection) near-neighbor pairs over the
+    // embeddings plus planted 1.001-scaled copies (dist = 0.001 per pair;
+    // no natural pair is within 0.01 of another). LSH blocks, exact-L2
+    // verify; oracle re-derives the exact pair set via norm-band blocking
+    // (reverse triangle inequality: |dist|<=0.01 forces ||a|-|b||<=0.01).
+    "dd6_euclid_pairs" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = e.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("v"), x => x * 1.001).as("v"))
+      graft.ann.Similarity.euclideanPairs(e.unionByName(planted), "vec_id", "v", 0.01)
+    }),
 
     // ---- training-data pipeline: similarity search ----
 
@@ -401,6 +438,40 @@ object SparkEntry {
          |        FROM triples GROUP BY subj)
          |SELECT pattern, COUNT(*) AS n_entities FROM pat GROUP BY 1""".stripMargin,
 
+    "kg8_untyped_patterns" ->
+      """WITH a AS (
+        |  SELECT 'Person' AS label,
+        |    array_to_string(list_sort(list_filter(
+        |      ['title', CASE WHEN doc_id % 7 <> 0 THEN 'n_chars' END],
+        |      x -> x IS NOT NULL)), ',') AS properties,
+        |    'person_ref' AS edges
+        |  FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN doc_id % 4 = 0 THEN 'a Person entry'
+        |              WHEN doc_id % 4 = 1 THEN 'some organization'
+        |              WHEN doc_id % 4 = 2 THEN lang END AS kind
+        |  FROM documents),
+        |b2 AS (
+        |  SELECT COALESCE(
+        |    CASE WHEN contains(lower(kind), 'person') THEN 'Person'
+        |         WHEN contains(lower(kind), 'place') THEN 'Place'
+        |         WHEN contains(lower(kind), 'event') THEN 'Event'
+        |         WHEN contains(lower(kind), 'organization') THEN 'Organization'
+        |         WHEN contains(lower(kind), 'location') THEN 'Location'
+        |         WHEN contains(lower(kind), 'product') THEN 'Product'
+        |         WHEN contains(lower(kind), 'company') THEN 'Company'
+        |         WHEN contains(lower(kind), 'city') THEN 'City'
+        |         WHEN contains(lower(kind), 'country') THEN 'Country' END,
+        |    'UnknownNodeLabel') AS label,
+        |    array_to_string(list_sort(list_filter(
+        |      [CASE WHEN kind IS NOT NULL THEN 'kind' END, 'size'],
+        |      x -> x IS NOT NULL)), ',') AS properties,
+        |    '' AS edges
+        |  FROM b),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b2)
+        |SELECT label, properties, edges, COUNT(*) AS n_rows
+        |FROM u GROUP BY 1, 2, 3""".stripMargin,
+
     "q8_eval_majority" ->
       """WITH assignments AS (
         |  SELECT c_custkey AS id, c_mktsegment AS predicted,
@@ -474,6 +545,21 @@ object SparkEntry {
         |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "dd6_euclid_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id, v FROM e
+        |      UNION ALL SELECT vec_id + 100000, list_transform(v, x -> x * 1.001) FROM e),
+        |k AS (SELECT vec_id, v,
+        |        CAST(floor(sqrt(list_inner_product(v, v)) / 0.01) AS BIGINT) AS bkt
+        |      FROM u),
+        |p AS (SELECT vec_id, v, unnest([bkt, bkt + 1]) AS blk FROM k),
+        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |           round(sqrt(greatest(
+        |             list_inner_product(a.v, a.v) - 2 * list_inner_product(a.v, b.v)
+        |               + list_inner_product(b.v, b.v), 0)), 6) AS dist
+        |         FROM p a JOIN p b ON a.blk = b.blk AND a.vec_id < b.vec_id)
+        |SELECT DISTINCT id_a, id_b, dist FROM cand WHERE dist <= 0.01""".stripMargin,
 
     "ann1_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

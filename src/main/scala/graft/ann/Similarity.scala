@@ -43,6 +43,52 @@ object Similarity {
   def hyperplaneSignature(vec: Column, m: Int = 16, t: Int = 0): Column =
     org.apache.spark.sql.graftfns.VectorExpressions.hyperplane_sig(vec, m, t)
 
+  /** Euclidean (L2) distance: native one-pass expression; null on length
+    * mismatch. */
+  def l2(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftfns.VectorExpressions.l2_dist(a, b)
+
+  /** HOF cross-check formulation of [[l2]] (interpreted; tests only). */
+  def l2Hof(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, x) => acc + x))
+
+  /**
+   * Euclidean near-neighbor pairs via bucketed random projection — the
+   * magnitude-sensitive LSH family the reference uses for its feature
+   * vectors (cs562_sdpg `LSH.scala:10-18` BucketedRandomProjectionLSH);
+   * the cosine-based [[graft.textops.Dedup.embeddingPairs]] cannot see
+   * magnitude differences. AND over `planes` projections within a table,
+   * OR over `tables` independent tables, exact L2 verify inside buckets,
+   * verify BEFORE the cross-table dedup so the dedup exchange carries
+   * scalars only.
+   *
+   * For a pair at distance d, a projection splits them w.p. ~ E|dot(Δ,a)|/w;
+   * with unit vectors, 64 dims and the defaults (planes=4, width=1.0) a
+   * d=0.01 pair survives one table w.p. ~0.83 and all 8 tables miss it
+   * w.p. ~1e-6. Raise `planes` (and `tables` with it) at larger N to bound
+   * bucket sizes, like every other LSH in this engine.
+   */
+  def euclideanPairs(df: DataFrame, idCol: String, vecCol: String,
+                     maxDist: Double, planes: Int = 4, width: Double = 1.0,
+                     tables: Int = 8): DataFrame = {
+    val indexed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          org.apache.spark.sql.graftfns.VectorExpressions
+            .euclidean_sig(col(vecCol), planes, t, width).as("sig"))): _*)).as("_b"))
+      .select(col("_id"), col("_v"), col("_b.t").as("_t"), col("_b.sig").as("_sig"))
+    val a = indexed.select(col("_t"), col("_sig"), col("_id").as("id_a"), col("_v").as("_v_a"))
+    val b = indexed.select(col("_t"), col("_sig"), col("_id").as("id_b"), col("_v").as("_v_b"))
+    a.join(b, Seq("_t", "_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", round(l2(col("_v_a"), col("_v_b")), 6))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /**
    * Exact top-k neighbors by cosine for each query vector.
    * Ordering is on the 6-dp-rounded cosine with id tiebreak, so results are

@@ -100,6 +100,72 @@ object VectorExpressions {
       copy(left = f, right = s, tables = th)
   }
 
+  /** Euclidean distance of two equal-length numeric arrays: one pass,
+    * null if either side is null or the lengths differ. */
+  case class L2Distance(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val at = elemType(left.dataType); val bt = elemType(right.dataType)
+      if (a.numElements() != b.numElements()) return null
+      val n = a.numElements()
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val d = toDouble(a, i, at) - toDouble(b, i, bt)
+        s += d * d; i += 1
+      }
+      math.sqrt(s)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Bucketed-random-projection signature for Euclidean LSH table `t`
+    * (the reference's BucketedRandomProjectionLSH analog, cs562_sdpg
+    * `LSH.scala:10-18`): per projection p, bucket_p = floor((dot(vec,
+    * plane_{t,p}) + offset_{t,p}) / width); the per-projection buckets are
+    * FNV-mixed into one long signature (AND-construction within a table;
+    * OR across tables as usual). Planes/offsets are deterministic
+    * pseudo-random, seed-space-shifted so Euclidean tables are independent
+    * of the hyperplane (cosine) tables. */
+  case class EuclideanSignature(left: Expression, right: Expression,
+                                tables: Expression, width: Double)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+    // left = vector, right = planes (int literal), tables = table id (int literal)
+    override def first: Expression = left
+    override def second: Expression = right
+    override def third: Expression = tables
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = left.nullable
+    private def plane(t: Int, p: Int, j: Int): Double = {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong((t.toLong << 40) ^ (p.toLong << 20) ^ j.toLong, 42L)
+      ((java.lang.Math.floorMod(h, 2001L)).toDouble - 1000.0) / 1000.0
+    }
+    override def nullSafeEval(v: Any, planesAny: Any, tAny: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val planes = planesAny.asInstanceOf[Int]
+      val t = tAny.asInstanceOf[Int]
+      val at = elemType(left.dataType)
+      val n = a.numElements()
+      var sig = 1125899906842597L * (t + 1)
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0; var j = 0
+        while (j < n) { dot += toDouble(a, j, at) * plane(t + 4096, p, j); j += 1 }
+        val offset = (plane(t + 8192, p, 0) + 1.0) / 2.0 * width
+        val bucket = math.floor((dot + offset) / width).toLong
+        sig = (sig ^ bucket) * 0x100000001b3L
+        p += 1
+      }
+      sig
+    }
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, th: Expression) =
+      copy(left = f, right = s, tables = th)
+  }
+
   import org.apache.spark.sql.classic.ExpressionUtils
 
   /** Column API: native one-pass cosine. */
@@ -114,6 +180,20 @@ object VectorExpressions {
       ExpressionUtils.expression(vec),
       ExpressionUtils.expression(lit(bits)),
       ExpressionUtils.expression(lit(table))))
+  }
+
+  /** Column API: native one-pass Euclidean distance. */
+  def l2_dist(a: Column, b: Column): Column =
+    ExpressionUtils.column(L2Distance(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API: bucketed-random-projection signature for table t. */
+  def euclidean_sig(vec: Column, planes: Int, table: Int, width: Double): Column = {
+    import org.apache.spark.sql.functions.lit
+    ExpressionUtils.column(EuclideanSignature(
+      ExpressionUtils.expression(vec),
+      ExpressionUtils.expression(lit(planes)),
+      ExpressionUtils.expression(lit(table)), width))
   }
 
   /** Register both as SQL functions on a session (usable from spark.sql). */

@@ -28,6 +28,12 @@ object KGPipeline {
       checkpointDir: Option[String] = None,
       shingleSize: Int = 3,
       maxBucket: Int = 10000,
+      /** Salted range repartitioning of the input before extraction
+        * ([[Transcripts.repartitionForScale]]): spreads hot conversations
+        * (a single 10^6-turn conv would otherwise serialize one task) while
+        * keeping conv-locality. Off by default — only worth an exchange when
+        * the input's own file partitioning is skewed. */
+      repartitionInput: Option[Int] = None,
       /** Cache the SMALL multi-consumer stages (mentions, entities — a few
         * rows per distinct normalized mention). Checkpointed runs get the
         * same effect from the stage parquet. */
@@ -58,7 +64,11 @@ object KGPipeline {
         case Some(d) => Checkpoint.stage(spark, d, name, parts)(f)
         case None => f
       }
-    val turns = Transcripts.stableTurns(transcripts)
+    val input = cfg.repartitionInput match {
+      case Some(n) => Transcripts.repartitionForScale(transcripts, n)
+      case None => transcripts
+    }
+    val turns = Transcripts.stableTurns(input)
     runFromTriples(spark, stage("triples_raw") { Extraction.triplesRaw(turns) }, cfg)
   }
 

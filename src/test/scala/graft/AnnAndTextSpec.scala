@@ -40,6 +40,31 @@ class AnnAndTextSpec extends SparkSpec {
     assert(got.isNullAt(1), "HOF cosine is null on dimension mismatch (contract)")
   }
 
+  test("native l2 == HOF l2; null on length mismatch") {
+    val diff = emb.limit(200).crossJoin(
+        emb.limit(5).select(col("embedding").as("e2")))
+      .select((Similarity.l2(col("embedding"), col("e2")) -
+        Similarity.l2Hof(col("embedding"), col("e2"))).as("d"))
+      .agg(max(abs(col("d")))).as[Double].head()
+    assert(diff < 1e-12, s"native vs HOF l2 drift: $diff")
+    val mm = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(Similarity.l2(col("a"), col("b"))).collect()(0)
+    assert(mm.isNullAt(0))
+  }
+
+  test("euclideanPairs: full recall on planted 0.001-distance pairs, no false hits") {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val planted = e.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("v"), x => x * 1.001).as("v"))
+    val n = e.count()
+    val pairs = Similarity.euclideanPairs(e.unionByName(planted), "vec_id", "v", 0.01)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.size == n, s"expected $n planted pairs, got ${pairs.size}")
+    assert(pairs.forall { case (a, b) => b == a + 100000L },
+      "every pair is (v, its scaled copy)")
+  }
+
   test("native functions callable from SQL after registration") {
     org.apache.spark.sql.graftfns.VectorExpressions.register(spark)
     emb.limit(10).createOrReplaceTempView("emb_sql_test")

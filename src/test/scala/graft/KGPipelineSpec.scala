@@ -84,4 +84,30 @@ class KGPipelineSpec extends SparkSpec {
     val again = KGPipeline.run(spark, transcripts)
     assert(Metrics.triplePR(again.tripleSet, result.tripleSet).f1 == 1.0)
   }
+
+  test("repartitionInput (salted range partitioning) changes nothing semantically") {
+    // TranscriptGen plants 20x hot conversations, so the salt path is real
+    val salted = KGPipeline.run(spark, transcripts,
+      KGPipeline.Config(repartitionInput = Some(8)))
+    assert(Metrics.triplePR(salted.tripleSet, result.tripleSet).f1 == 1.0)
+  }
+
+  test("CSV source (pipe-delimited): same triples as the parquet path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    transcripts.write.mode("overwrite")
+      .option("header", "true").option("delimiter", "|")
+      .csv(dir)
+    val viaCsv = graft.sources.CsvTranscripts.read(spark, dir)
+    assert(viaCsv.columns.toSeq == transcripts.columns.toSeq)
+    val fromCsv = Extraction.triplesRaw(graft.ingest.Transcripts.stableTurns(viaCsv))
+      .select("conv_id", "turn_idx", "subj_norm", "pred", "obj_norm")
+      .collect().map(_.toSeq).toSet
+    val fromParquet = Extraction.triplesRaw(graft.ingest.Transcripts.stableTurns(transcripts))
+      .select("conv_id", "turn_idx", "subj_norm", "pred", "obj_norm")
+      .collect().map(_.toSeq).toSet
+    assert(fromCsv == fromParquet, "CSV and parquet ingest must agree")
+    // null-vs-empty tool round-trip (the reference's pipe files leave it blank)
+    assert(viaCsv.filter(col("tool").isNull).count() ==
+      transcripts.filter(col("tool").isNull).count())
+  }
 }
