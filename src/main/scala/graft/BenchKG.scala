@@ -5,20 +5,61 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.KGPipeline
 
 /** Diagnostic: per-stage wall breakdown of the KG pipeline.
-  * args: <threads> <fixtureDir> [cache|nocache] */
+  * args: <threads> <fixtureDir> [cache|nocache|pipeline] [shufflePartitions] [trials] */
 object BenchKG {
   def main(args: Array[String]): Unit = {
     val threads = args(0).toInt
     val fixture = args(1)
-    val useCache = args.length < 3 || args(2) == "cache"
+    val mode = if (args.length < 3) "cache" else args(2)
+    val useCache = mode == "cache"
+    val parts = if (args.length > 3) args(3).toInt else 64
+    val trials = if (args.length > 4) args(4).toInt else 3
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .appName("graft-bench-kg")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "probe") {
+      // workload-representative hardware probe: string materialization +
+      // regex + shuffle-free agg, same op mix as extraction (memory-bandwidth
+      // bound, unlike a cache-resident hash loop)
+      for (i <- 1 to trials) {
+        val t0 = System.nanoTime()
+        spark.range(0, 6000000L, 1, threads * 4)
+          .select(concat(lit("conv_"), lpad((col("id") % 1000000).cast("string"), 8, "0"),
+            lit(" works at Acme Corp in Springfield today.")).as("s"))
+          .select(sum(length(regexp_replace(lower(col("s")), "[^a-z0-9 ]", ""))).as("n"))
+          .head()
+        println(f"[probe] threads=$threads trial=$i wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop()
+      return
+    }
+    if (mode == "pipeline") {
+      // exactly what Bench's scaling pair times: full pipeline count
+      val tr = spark.read.parquet(s"$fixture/transcripts")
+      tr.count()
+      for (i <- 1 to trials) {
+        val t0 = System.nanoTime()
+        val result = KGPipeline.run(spark, tr)
+        val t1 = System.nanoTime()
+        val triples = result.canonicalTriples.count()
+        val t2 = System.nanoTime()
+        println(f"[pipeline] threads=$threads parts=$parts trial=$i " +
+          f"wall=${(t2 - t0) / 1e9}%.2f s triples=$triples " +
+          f"(construct+cc=${(t1 - t0) / 1e9}%.2f canonical=${(t2 - t1) / 1e9}%.2f)")
+        // each trial must pay the full pipeline: Spark's CacheManager matches
+        // identical plans across trials and would serve trial 2+ from cache
+        spark.catalog.clearCache()
+        if (i == trials && sys.env.contains("GRAFT_EXPLAIN"))
+          println(result.canonicalTriples.queryExecution.executedPlan.toString.take(6000))
+      }
+      spark.stop()
+      return
+    }
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[stage] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r

@@ -34,9 +34,17 @@ object Extraction {
     Rule("based_in",   "^(.{1,128}?) is based in (.{1,128}?)\\.$", " is based in ", "org",    "city"))
 
   /** Normalize a surface form for blocking/equality: lowercase, strip
-    * punctuation, collapse whitespace. Pure string functions applied in a
-    * stable order (per-turn text equality invariant, BASELINE input_hint). */
+    * punctuation, collapse whitespace — as ONE native byte-level pass
+    * ([[org.apache.spark.sql.graftfns.TextExpressions.NormalizeText]]).
+    * java.util.regex does not scale with threads on this host class
+    * (measured: replaceAll is SLOWER at 8 threads than at 1), and this runs
+    * twice per triple over the whole stream. Parity with the regex
+    * formulation below is spec-asserted. */
   def normalize(c: Column): Column =
+    org.apache.spark.sql.graftfns.TextExpressions.normalize_text(c)
+
+  /** The regex formulation normalize() must agree with (tests only). */
+  def normalizeRegex(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Mint a stable URI for a normalized mention (reference analog:
@@ -56,16 +64,24 @@ object Extraction {
    */
   def triplesRaw(transcripts: DataFrame): DataFrame = {
     val ruleStructs = array(rules.map { r =>
-      // `contains` prefilter short-circuits the regex for the (majority)
-      // non-matching rows; the regex stays as the semantic guard; the
-      // capture groups themselves are literal string ops on the first
-      // infix occurrence — exactly what the non-greedy groups match
-      // (subj = text before first infix; obj = text after it, minus the
-      // anchored trailing '.').
+      // The rule guard is the `Rule.regex` SEMANTICS without java.util.regex
+      // (whose Matcher does not scale across threads on this host class —
+      // see TextExpressions): anchored `^(.{1,128}?) INFIX (.{1,128}?)\.$`
+      // == contains the infix, ends with '.', subject = text before the
+      // FIRST infix occurrence (the non-greedy group) with 1..128 chars,
+      // object = the rest minus the trailing dot with 1..128 chars, and no
+      // newline anywhere (both groups are dot-classes; like RE2/DuckDB we
+      // treat '$' as end-of-text, not before a trailing newline).
       val subj = substring_index(col("text"), r.infix, 1)
       val objPos = length(subj) + lit(r.infix.length + 1)
-      val obj = col("text").substr(objPos, length(col("text")) - objPos)
-      when(col("text").contains(r.infix) && col("text").rlike(r.regex),
+      val objLen = length(col("text")) - objPos
+      val obj = col("text").substr(objPos, objLen)
+      val guard = col("text").contains(r.infix) &&
+        col("text").endsWith(".") &&
+        !col("text").contains("\n") &&
+        length(subj).between(1, 128) &&
+        objLen.between(1, 128)
+      when(guard,
         struct(
           subj.as("subj_raw"),
           lit(r.pred).as("pred"),
@@ -78,17 +94,23 @@ object Extraction {
       // materialize the rule matches in their own (whole-stage-codegen'd)
       // projection; the Generate below then explodes a plain column —
       // keeping the regex/string work out of GenerateExec's interpreted
-      // generator evaluation
+      // generator evaluation. NO size(...)>0 pre-filter: explode() of an
+      // empty array already emits nothing, and a separate Filter operator
+      // would re-evaluate the whole 4-regex match array a second time per
+      // row (no common-subexpression elimination across operators).
       .select(col("conv_id"), col("turn_idx"),
         filter(ruleStructs, x => x.isNotNull).as("_matches"))
-      .filter(size(col("_matches")) > 0)
       .select(col("conv_id"), col("turn_idx"), explode(col("_matches")).as("m"))
       .select(col("conv_id"), col("turn_idx"),
         col("m.subj_raw"), col("m.pred"), col("m.obj_raw"),
         col("m.subj_type"), col("m.obj_type"))
       .filter(col("subj_raw") =!= "" && col("obj_raw") =!= "")
-      .withColumn("subj_norm", normalize(col("subj_raw")))
-      .withColumn("obj_norm", normalize(col("obj_raw")))
+      // coalesce makes the norm columns non-nullable, so downstream
+      // equi-joins on them do NOT get an inferred isnotnull(<regex chain>)
+      // filter — which would evaluate the normalization regexes a second
+      // time per row in a Filter below the Project
+      .withColumn("subj_norm", coalesce(normalize(col("subj_raw")), lit("")))
+      .withColumn("obj_norm", coalesce(normalize(col("obj_raw")), lit("")))
   }
 
   /**
@@ -100,10 +122,15 @@ object Extraction {
    * Output: (mention_id, mention_type, norm, n_occurrences, forms)
    */
   def mentions(triples: DataFrame): DataFrame = {
-    val slots = triples.select(col("subj_norm").as("norm"), col("subj_type").as("mention_type"),
-        col("subj_raw").as("raw"))
-      .unionByName(triples.select(col("obj_norm").as("norm"), col("obj_type").as("mention_type"),
-        col("obj_raw").as("raw")))
+    // ONE scan: both slots explode from the same row (a two-branch union
+    // would evaluate the whole upstream extraction subtree twice)
+    val slots = triples.select(explode(array(
+        struct(col("subj_norm").as("norm"), col("subj_type").as("mention_type"),
+          col("subj_raw").as("raw")),
+        struct(col("obj_norm").as("norm"), col("obj_type").as("mention_type"),
+          col("obj_raw").as("raw")))).as("s"))
+      .select(col("s.norm").as("norm"), col("s.mention_type").as("mention_type"),
+        col("s.raw").as("raw"))
     // two-level agg: count per raw form first (partial-agg friendly), then
     // roll up to the normalized mention with the majority raw form
     slots.groupBy("mention_type", "norm", "raw").agg(count(lit(1)).as("n"))

@@ -34,6 +34,46 @@ class KGPipelineSpec extends SparkSpec {
     assert(raw.count() == factTurns)
   }
 
+  test("native normalize == regex normalize (hot path avoids java.util.regex)") {
+    val adversarial = Seq(
+      "  Leading and trailing  ", "UPPER lower 123", "a-b c_d e.f",
+      "multi   spaces\tand tab", "punct!@#$%^&*()", "", "   ", "a",
+      "Ünïcödé sträy chars", "mixed Ünïcödé and ascii X9").toDF("t")
+    val texts = transcripts.select(col("text").as("t")).limit(2000).unionByName(adversarial)
+    val diff = texts.filter(
+      Extraction.normalize(col("t")) =!= Extraction.normalizeRegex(col("t"))).collect()
+    assert(diff.isEmpty, s"normalize drift on: ${diff.take(5).mkString(", ")}")
+  }
+
+  test("regex-free rule guard == anchored-regex guard (incl. boundary lengths)") {
+    val long128 = "x" * 128
+    val long129 = "x" * 129
+    val edge = Seq(
+      "Alice works at Acme.",          // plain match
+      "Alice works at Acme",           // no trailing dot -> no match
+      s"$long128 works at Acme.",      // subj at max length -> match
+      s"$long129 works at Acme.",      // subj too long -> no match
+      s"Alice works at $long128.",     // obj at max length -> match
+      s"Alice works at $long129.",     // obj too long -> no match
+      " works at Acme.",               // empty subj -> no match
+      "Alice works at .",              // empty obj -> no match
+      "Alice works at Bob works at C.",// infix twice: subj = before FIRST
+      "Alice\nworks at Acme.",         // newline -> no match (RE2 semantics)
+      "no fact here.").toDF("text")
+      .withColumn("conv_id", lit("c")).withColumn("turn_idx", monotonically_increasing_id())
+    val got = Extraction.triplesRaw(edge)
+      .select("subj_raw", "obj_raw").as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("Alice", "Acme"),
+      (long128, "Acme"),
+      ("Alice", long128),
+      ("Alice", "Bob works at C")))
+    // cross-check the kept rows against the documented regex on the fixture
+    val viaRegex = transcripts.filter(col("text").rlike(Extraction.rules.head.regex)).count()
+    val viaGuard = Extraction.triplesRaw(transcripts).filter(col("pred") === "works_at").count()
+    assert(viaGuard == viaRegex)
+  }
+
   test("end-to-end triple P/R vs golden >= 0.95 despite aliases (north rule)") {
     val pr = Metrics.triplePR(result.tripleSet, golden)
     info(s"triples: tp=${pr.tp} fp=${pr.fp} fn=${pr.fn} " +
