@@ -46,12 +46,26 @@ object MinHashBlocking {
         i => padded.substr(i + 1, lit(n))))
   }
 
-  /** k seeded minhash values over a shingle array: sig_i = min over shingles
-    * of xxhash64(i, shingle). Plain array<long>, no UDT, no UDF. */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
+  /** Hash each shingle string ONCE to a 64-bit value (the expensive
+    * variable-length scan happens here, exactly once per shingle). */
+  def shingleBaseHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, s => xxhash64(s))
+
+  /** k minhash values from pre-hashed shingles: g_i(s) = xxhash64(i, h(s))
+    * rehashes the fixed-width long, not the string — keep this separate
+    * from [[shingleBaseHashes]] so the base pass is computed once, not k
+    * times (CollapseProject refuses to inline the non-cheap base transform
+    * into k consumers, so the two-projection shape is stable). */
+  def minhashSignatureFromHashes(baseHashCol: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(shinglesCol, s => xxhash64(lit(i), s)))
+      array_min(transform(baseHashCol, h => xxhash64(lit(i), h)))
     }: _*)
+
+  /** k seeded minhash values over a shingle array. Plain array<long>, no
+    * UDT, no UDF (single-expression convenience form of the two-step
+    * [[shingleBaseHashes]] + [[minhashSignatureFromHashes]]). */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    minhashSignatureFromHashes(shingleBaseHashes(shinglesCol), k)
 
   /** Split a k-length signature into `bands` band keys; a band key is the
     * xxhash64 of its rows plus the band index (and any extra grouping cols,
@@ -84,7 +98,8 @@ object MinHashBlocking {
     val bands = if (k > 0) math.max(1, k / rowsPerBand)
                 else numBands(threshold, rowsPerBand)
     val withBands = df
-      .withColumn("_sig", minhashSignature(col(shinglesCol), bands * rowsPerBand))
+      .withColumn("_bh", shingleBaseHashes(col(shinglesCol)))
+      .withColumn("_sig", minhashSignatureFromHashes(col("_bh"), bands * rowsPerBand))
       .withColumn("_band", explode(bandKeys(col("_sig"), bands, rowsPerBand,
         extraKey.map(col): _*)))
       .select(col("_band"), col(idCol).as("_id"), col(shinglesCol).as("_sh"))
@@ -98,17 +113,21 @@ object MinHashBlocking {
       .select("_band")
     val capped = withBands.join(keepBuckets, Seq("_band"), "left_semi")
 
-    val a = capped.select(col("_band"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
-    val b = capped.select(col("_band"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    val a = capped.select(col("_band"), col("_id").as("id_a"), col("_sh").as("_sh_a"),
+      size(col("_sh")).as("_n_a"))
+    val b = capped.select(col("_band"), col("_id").as("id_b"), col("_sh").as("_sh_b"),
+      size(col("_sh")).as("_n_b"))
     // verify Jaccard BEFORE the pair-dedup so the dedup shuffle carries
     // (id,id,double) scalars, not two shingle arrays per row; a pair seen
     // in several bands recomputes a deterministic jaccard — cheaper than
-    // shuffling the arrays
+    // shuffling the arrays. |A∪B| = |A|+|B|-|A∩B| (shingles are distinct),
+    // so only the intersection array is materialized, never the union.
     a.join(b, Seq("_band"))
       .filter(col("id_a") < col("id_b"))
+      .withColumn("_inter", size(array_intersect(col("_sh_a"), col("_sh_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
-          size(array_union(col("_sh_a"), col("_sh_b"))).cast("double"))
+        col("_inter").cast("double") /
+          (col("_n_a") + col("_n_b") - col("_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .dropDuplicates("id_a", "id_b")

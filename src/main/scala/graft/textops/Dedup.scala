@@ -108,18 +108,22 @@ object Dedup {
                         blockCol: String, threshold: Double, n: Int = 3): DataFrame = {
     val withSh = df.select(col(blockCol).as("_blk"), col(idCol),
       wordShingles(col(textCol), n).as("_sh"))
-    val a = withSh.select(col("_blk"), col(idCol).as("id_a"), col("_sh").as("_sh_a"))
-    val b = withSh.select(col("_blk"), col(idCol).as("id_b"), col("_sh").as("_sh_b"))
+    val a = withSh.select(col("_blk"), col(idCol).as("id_a"), col("_sh").as("_sh_a"),
+      size(col("_sh")).as("_n_a"))
+    val b = withSh.select(col("_blk"), col(idCol).as("id_b"), col("_sh").as("_sh_b"),
+      size(col("_sh")).as("_n_b"))
     a.join(b, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
       // verify FIRST (jaccard is deterministic, safe to recompute for a pair
       // that co-occurs in several blocks), THEN dedup — so the dedup
       // exchange carries three scalars per surviving pair, never the two
       // ~300-element shingle arrays per candidate (the ordering lesson from
-      // MinHashBlocking.candidatePairs)
+      // MinHashBlocking.candidatePairs). |A∪B| = |A|+|B|-|A∩B| (distinct
+      // shingles): only the intersection array is ever materialized.
+      .withColumn("_inter", size(array_intersect(col("_sh_a"), col("_sh_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
-          size(array_union(col("_sh_a"), col("_sh_b"))).cast("double"))
+        col("_inter").cast("double") /
+          (col("_n_a") + col("_n_b") - col("_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .dropDuplicates("id_a", "id_b")

@@ -64,17 +64,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("noise sweep matrix: precision >= 0.95 at 10/20/40% cell noise") {
+  test("noise sweep matrix 10-100%: precision holds, recall degrades ~ (1-p)") {
+    // full corruption matrix mirroring the reference's run_tale_ldbc.sh
+    // 10-100% sweep (BASELINE.md tables), including the high-noise regime
+    // where the reference's pattern census collapses
     val tr = graft.fixtures.TranscriptGen.transcripts(spark, 150).cache()
     val golden = graft.fixtures.TranscriptGen.goldenTriples(spark, 150).cache()
-    Seq(0.1, 0.2, 0.4).foreach { p =>
+    Seq(0.1, 0.2, 0.4, 0.6, 0.8, 1.0).foreach { p =>
       val noisy = graft.noise.Noise.addNoise(tr, p, seed = 17L)
         .filter(col("text").isNotNull)
       val result = graft.pipeline.KGPipeline.run(spark, noisy)
       val pr = graft.eval.Metrics.triplePR(result.tripleSet, golden)
-      info(f"noise=$p: P=${pr.precision}%.4f R=${pr.recall}%.4f")
-      assert(pr.precision >= 0.95, s"precision at noise $p: ${pr.precision}")
-      assert(pr.recall >= 1.0 - p - 0.15, s"recall at noise $p: ${pr.recall}")
+      val patterns = result.nodeSchema.count()
+      info(f"noise=$p: P=${pr.precision}%.4f R=${pr.recall}%.4f " +
+        f"triples=${pr.tp + pr.fp} schema_rows=$patterns")
+      if (p >= 1.0) {
+        assert(pr.tp + pr.fp == 0, "100% cell noise nulls every text -> no triples")
+      } else {
+        // nulled cells remove turns but never corrupt surviving text, so
+        // precision holds at every level; recall tracks surviving turns
+        assert(pr.precision >= 0.95, s"precision at noise $p: ${pr.precision}")
+        assert(pr.recall >= 1.0 - p - 0.15, s"recall at noise $p: ${pr.recall}")
+        assert(pr.recall <= 1.0 - p + 0.15, s"recall should track 1-p at $p: ${pr.recall}")
+      }
     }
   }
 }
