@@ -14,13 +14,16 @@ object BenchKG {
     val useCache = mode == "cache"
     val parts = if (args.length > 3) args(3).toInt else 64
     val trials = if (args.length > 4) args(4).toInt else 3
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$threads]")
       .appName("graft-bench-kg")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (sys.env.contains("GRAFT_NO_INFER_GEN"))
+      builder.config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "probe") {
       // workload-representative hardware probe: string materialization +

@@ -93,14 +93,18 @@ object Extraction {
     transcripts
       // materialize the rule matches in their own (whole-stage-codegen'd)
       // projection; the Generate below then explodes a plain column —
-      // keeping the regex/string work out of GenerateExec's interpreted
-      // generator evaluation. NO size(...)>0 pre-filter: explode() of an
-      // empty array already emits nothing, and a separate Filter operator
-      // would re-evaluate the whole 4-regex match array a second time per
-      // row (no common-subexpression elimination across operators).
+      // keeping the match-array work out of GenerateExec's interpreted
+      // generator evaluation. explode_OUTER + isNotNull, deliberately:
+      // a plain explode triggers InferFiltersFromGenerate, whose
+      // size(...)>0 filter gets predicate-pushed BELOW the projection and
+      // re-evaluates the whole 4-rule match array a second time per input
+      // row (measured: +26% pipeline wall). The outer variant is exempt
+      // from that rule; empty arrays surface as one null row filtered on
+      // the generated attribute — cheap and not pushable below Generate.
       .select(col("conv_id"), col("turn_idx"),
         filter(ruleStructs, x => x.isNotNull).as("_matches"))
-      .select(col("conv_id"), col("turn_idx"), explode(col("_matches")).as("m"))
+      .select(col("conv_id"), col("turn_idx"), explode_outer(col("_matches")).as("m"))
+      .filter(col("m").isNotNull)
       .select(col("conv_id"), col("turn_idx"),
         col("m.subj_raw"), col("m.pred"), col("m.obj_raw"),
         col("m.subj_type"), col("m.obj_type"))
@@ -123,12 +127,16 @@ object Extraction {
    */
   def mentions(triples: DataFrame): DataFrame = {
     // ONE scan: both slots explode from the same row (a two-branch union
-    // would evaluate the whole upstream extraction subtree twice)
-    val slots = triples.select(explode(array(
+    // would evaluate the whole upstream extraction subtree twice).
+    // explode_outer for the same reason as triplesRaw: the non-outer form
+    // triggers an inferred size(...)>0 filter that predicate-pushdown
+    // re-evaluates below the projection.
+    val slots = triples.select(explode_outer(array(
         struct(col("subj_norm").as("norm"), col("subj_type").as("mention_type"),
           col("subj_raw").as("raw")),
         struct(col("obj_norm").as("norm"), col("obj_type").as("mention_type"),
           col("obj_raw").as("raw")))).as("s"))
+      .filter(col("s").isNotNull)
       .select(col("s.norm").as("norm"), col("s.mention_type").as("mention_type"),
         col("s.raw").as("raw"))
     // two-level agg: count per raw form first (partial-agg friendly), then
