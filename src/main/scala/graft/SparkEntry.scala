@@ -249,7 +249,7 @@ object SparkEntry {
     // O(n^2))
     "dd4_ngram_jaccard" -> ((s, dir) => {
       val blocked = tbl(s, dir, "documents")
-        .withColumn("_bkt", floor(length(col("text")) / 16))
+        .withColumn("_bkt", floor(length(col("text")) / 8))
         .withColumn("_blk", explode(array(
           concat_ws("_", col("lang"), col("_bkt")),
           concat_ws("_", col("lang"), col("_bkt") + 1))))
@@ -533,7 +533,7 @@ object SparkEntry {
 
     "dd4_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w,
-        |  floor(length(text) / 16) AS bkt FROM documents),
+        |  floor(length(text) / 8) AS bkt FROM documents),
         |k AS (SELECT doc_id, lang || '_' || CAST(b AS VARCHAR) AS blk, w
         |      FROM d, LATERAL (SELECT unnest([bkt, bkt + 1]) AS b) t),
         |sh AS (SELECT doc_id, blk,

@@ -124,6 +124,11 @@ object MinHashBlocking {
     // so only the intersection array is materialized, never the union.
     a.join(b, Seq("_band"))
       .filter(col("id_a") < col("id_b"))
+      // lossless size-ratio prune before touching the arrays: J(A,B) <=
+      // min(|A|,|B|)/max(|A|,|B|), so a pair failing this cannot reach the
+      // threshold — a scalar compare that skips the intersection entirely
+      .filter(least(col("_n_a"), col("_n_b")).cast("double") >=
+        lit(threshold) * greatest(col("_n_a"), col("_n_b")).cast("double"))
       .withColumn("_inter", size(array_intersect(col("_sh_a"), col("_sh_b"))))
       .withColumn("jaccard",
         col("_inter").cast("double") /

@@ -114,6 +114,9 @@ object Dedup {
       size(col("_sh")).as("_n_b"))
     a.join(b, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
+      // lossless size-ratio prune: J <= min/max, scalar compare, no arrays
+      .filter(least(col("_n_a"), col("_n_b")).cast("double") >=
+        lit(threshold) * greatest(col("_n_a"), col("_n_b")).cast("double"))
       // verify FIRST (jaccard is deterministic, safe to recompute for a pair
       // that co-occurs in several blocks), THEN dedup — so the dedup
       // exchange carries three scalars per surviving pair, never the two
