@@ -150,4 +150,12 @@ class KGPipelineSpec extends SparkSpec {
     assert(viaCsv.filter(col("tool").isNull).count() ==
       transcripts.filter(col("tool").isNull).count())
   }
+
+  test("ORC source: byte-identical round-trip through the contract schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    graft.sources.OrcTranscripts.write(transcripts, dir)
+    val viaOrc = graft.sources.OrcTranscripts.read(spark, dir)
+    assert(viaOrc.columns.toSeq == transcripts.columns.toSeq)
+    assert(viaOrc.exceptAll(transcripts).isEmpty && transcripts.exceptAll(viaOrc).isEmpty)
+  }
 }
