@@ -132,7 +132,7 @@ object Bench {
     // 64 shuffle partitions — the same partitioning the wide pair uses, so
     // this run doubles as the wide pair's high side
     val (wallFull, turnsFull, triplesFull, hwHigh) =
-      timed(cpus, 64, s"$fixtureDir/big")
+      timed(cpus, 64, s"$fixtureDir/big", trials = 3)
     // scaling pairs on the BIG fixture (the small one is job-overhead-bound:
     // per-round/stage fixed latency swamps the compute and understates
     // scaling); identical shuffle partitioning within each pair, best-of-3

@@ -13,13 +13,13 @@ import graft.ingest.Transcripts
  * (cs562_sdpg `src2/main/scala/Main.scala:56-70,103-113`:
  * LinkedHashMap + .ser checkpoint + parquet overwrite-union).
  *
- * State tables (all value-keyed, so replaying an increment is a no-op):
- *  - `inc_triples`  keyed by (conv_id, turn_idx, subj_norm, pred, obj_norm)
- *  - `inc_mentions` keyed by (mention_type, norm) with additive counts
- *    recomputed from triples (counts are NOT merged additively — they are
- *    re-derived, which keeps the merge idempotent under replays).
+ * State: ONE value-keyed table, `inc_triples`, keyed by
+ * (conv_id, turn_idx, subj_norm, pred, obj_norm) — so replaying an
+ * increment is a no-op. Mention counts are NOT stored incrementally:
+ * [[finalizeGraph]] re-derives them from the accumulated triples, which
+ * keeps the merge idempotent under replays and crash-retries.
  *
- * After any number of increments, `finalize` runs the blocking +
+ * After any number of increments, [[finalizeGraph]] runs the blocking +
  * canonicalization + discovery stages over the accumulated state —
  * identical results to a single batch run over the union (tested).
  */
