@@ -100,6 +100,11 @@ object Bench {
     // processes); best-of filters transient contention. The adjacent
     // pure-CPU probe measures what the box itself delivered at that thread
     // count, so engine scaling is separable from host scaling.
+    // EVERY trial's wall + hw probe + host load goes into the JSON artifact
+    // (trialsJson below): the headline is best-of-N, but the full spread is
+    // machine-checkable — a narrated "best-of-3" with no artifact behind it
+    // was round 2's one unverifiable claim.
+    val allTrials = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double, Double)]]
     def timed(threads: Int, parts: Int, fixture: String,
               trials: Int = 2): (Double, Long, Long, Double) = {
       val runs = (1 to trials).map { _ =>
@@ -107,11 +112,17 @@ object Bench {
         val (wall, turns, triples) = kgRun(s, fixture)
         val hw = cpuProbe(s)
         s.stop()
-        (wall, turns, triples, hw)
+        (wall, turns, triples, hw, load1)
       }
+      allTrials(s"t${threads}_p$parts") = runs.map(r => (r._1, r._4, r._5))
       val best = runs.minBy(_._1)
       (best._1, best._2, best._3, runs.map(_._4).min)
     }
+    def trialsJson: String = allTrials.map { case (level, runs) =>
+      "\"" + level + "\":" + runs.map { case (w, hw, l) =>
+        s"""{"wall_sec":$w,"hw_probe_sec":$hw,"host_load1":$l}"""
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     def pairJson(lowT: Int, highT: Int, wallLow: Double, wallHigh: Double,
                  hwLow: Double, hwHigh: Double, triples: Long): (String, Double) = {
       val factor = highT.toDouble / lowT
@@ -155,7 +166,8 @@ object Bench {
     val scaling =
       s"""{"efficiency":$effPrimary,"primary_pair":$pairPrimary,""" +
         s""""wide_pair":$pairWide,"hw_probe_high_sec":$hwHigh,""" +
-        s""""host_load1_start":$loadStart,"host_load1_end":$loadEnd}"""
+        s""""host_load1_start":$loadStart,"host_load1_end":$loadEnd,""" +
+        s""""trials":$trialsJson}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"sf":"$sfDir","kg":$kg,"scaling":$scaling}""")
   }

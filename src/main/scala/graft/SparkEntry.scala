@@ -33,22 +33,30 @@ object SparkEntry {
 
   // kg4/kg5/kg6 are views over ONE pipeline execution — memoized per
   // (session, sfDir) so the harness timing reflects shared stages the way a
-  // real deployment runs them. Keyed by the session OBJECT in a weak map:
-  // identity hashes collide, and a strong key would retain dead sessions'
-  // cached DataFrames forever.
-  private val pipelineMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, KGPipeline.Result]]()
+  // real deployment runs them. Single-session memo: cached Results hold
+  // DataFrames, which strongly reference their SparkSession, so a
+  // Weak/SoftHashMap keyed by session could never evict (the value pins the
+  // key — round-2 ADVICE finding). Instead we keep AT MOST ONE session's
+  // results and drop them the moment a different session arrives — bounded
+  // retention without pretending to be GC-driven.
+  private val memoLock = new Object
+  private var memoSession: java.lang.ref.WeakReference[SparkSession] =
+    new java.lang.ref.WeakReference(null)
+  private var memoResults: Map[String, KGPipeline.Result] = Map.empty
   private def eventsPipeline(s: SparkSession, dir: String): KGPipeline.Result =
-    pipelineMemo.synchronized {
-      val perSession = {
-        val m = pipelineMemo.get(s)
-        if (m != null) m
-        else { val m2 = scala.collection.mutable.Map.empty[String, KGPipeline.Result]
-               pipelineMemo.put(s, m2); m2 }
+    memoLock.synchronized {
+      if (!(memoSession.get eq s)) {
+        memoSession = new java.lang.ref.WeakReference(s)
+        memoResults = Map.empty
       }
-      perSession.getOrElseUpdate(dir,
-        KGPipeline.run(s, eventsTranscripts(s, dir),
-          KGPipeline.Config(jaccardThreshold = 0.95, cacheLarge = true)))
+      memoResults.get(dir) match {
+        case Some(r) => r
+        case None =>
+          val r = KGPipeline.run(s, eventsTranscripts(s, dir),
+            KGPipeline.Config(jaccardThreshold = 0.95, cacheLarge = true))
+          memoResults += dir -> r
+          r
+      }
     }
 
   /** Exact decimal-backed double sum (associative on both engines). */
@@ -206,6 +214,17 @@ object SparkEntry {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("total_price"))),
 
+    // full grouping-sets lattice (cube): every (status, priority) subtotal
+    // combination — the companion to q9's rollup, rounding out multi-level
+    // aggregation (absent in the reference, SURVEY §2.4)
+    "q11_cube" -> ((s, dir) => tbl(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))),
+
     // sessionization: gap-based session windows over the events stream
     // (lag + cumulative sum of gap flags), the standard telemetry shape
     "q10_sessionize" -> ((s, dir) => {
@@ -238,8 +257,11 @@ object SparkEntry {
     "dd2_minhash_pairs" -> ((s, dir) =>
       graft.textops.Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", 0.8)),
 
-    // SimHash near-dup pairs (banded 64-bit, Hamming<=3) — no SQL oracle
-    // (xxhash64 not portable); quality asserted in DedupSpec
+    // SimHash near-dup pairs (banded 64-bit, Hamming<=3). FULLY oracle-backed:
+    // token hashes are md5-hex-digit-derived (portable — DuckDB re-derives
+    // the 64 bit-sums), and the 4x16-bit banding is LOSSLESS for Hamming<=3
+    // by pigeonhole, so the output equals the exact all-pairs Hamming filter
+    // the oracle computes (bucket caps never bind at fixture scale).
     "dd3_simhash_pairs" -> ((s, dir) =>
       graft.textops.Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", 3)),
 
@@ -256,11 +278,22 @@ object SparkEntry {
       graft.textops.Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "_blk", 0.5)
     }),
 
-    // embedding-cosine near-dup via hyperplane-LSH buckets (rows-only;
-    // recall vs brute force asserted in AnnSpec)
-    "dd5_embed_pairs" -> ((s, dir) =>
+    // embedding-cosine near-dup via multi-table hyperplane-LSH. Oracle-backed
+    // by construction: the corpus is the embeddings plus 1.001-scaled copies
+    // of the first 50 vectors — positive scaling preserves every hyperplane
+    // sign, so each copy lands in its original's bucket in EVERY table and
+    // LSH recall on the planted pairs is deterministically 1.0; no natural
+    // pair reaches cosine 0.999 (fixture max < 0.9), so the verified output
+    // equals the exact >=0.999 pair set DuckDB computes all-pairs.
+    "dd5_embed_pairs" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("v"), x => x * 1.001).as("v"))
       graft.textops.Dedup.embeddingPairs(
-        tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.9)),
+        e.unionByName(planted), "vec_id", "v", 0.999)
+    }),
 
     // Euclidean (bucketed-random-projection) near-neighbor pairs over the
     // embeddings plus planted 1.001-scaled copies (dist = 0.001 per pair;
@@ -283,11 +316,23 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
     }),
 
-    // LSH-bucketed ANN (scale path; recall asserted in AnnSpec)
+    // LSH-bucketed ANN (scale path). Oracle-backed by construction: the
+    // corpus adds, per query vector, ten scaled copies (x * (1 + m/1000),
+    // m=1..10) — scaling preserves hyperplane signs, so every copy shares
+    // the query's bucket in every table and is found deterministically; all
+    // ten score cosine 1.0 (rounded), above any natural neighbor (< 0.9),
+    // so the approximate top-10 EQUALS the exact top-10 DuckDB computes
+    // brute-force (ties broken by neighbor_id on both engines).
     "ann2_lsh_topk" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
+      val emb = tbl(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = emb.filter(col("vec_id") < 5)
+      val copies = queries
+        .select(col("vec_id"), col("v"), explode(sequence(lit(1), lit(10))).as("m"))
+        .select((col("m").cast("long") * 100000L + col("vec_id")).as("vec_id"),
+          transform(col("v"), x => x * (lit(1.0) + col("m") / lit(1000.0))).as("v"))
       graft.ann.Similarity.lshTopK(
-        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+        queries, emb.unionByName(copies), "vec_id", "v", 10)
     }),
 
     // ---- training-data pipeline: text analysis ----
@@ -332,6 +377,29 @@ object SparkEntry {
   // the event columns (independent of the Spark mechanism), so they validate
   // extraction/linking semantics, not just regex parity.
   private val T = EventTranscripts.sqlCte
+
+  /** dd3 oracle, generated: re-derives the portable md5-based simhash
+    * bit-sums per document (bit j of a token = bit (3 - j%4) of hex digit
+    * j/4 of md5(token)), then computes Hamming distance all-pairs — the
+    * exact semantics the banded Spark path equals (pigeonhole: any pair at
+    * Hamming <= 3 shares one of four 16-bit bands). */
+  private val dd3Oracle: String = {
+    val digits = (0 until 16).map(k =>
+      s"strpos('0123456789abcdef', substr(m, ${k + 1}, 1)) - 1 AS d$k").mkString(", ")
+    val sums = (0 until 64).map(i =>
+      s"SUM(CASE WHEN (d${i / 4} >> ${3 - i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val ham = (0 until 64).map(i =>
+      s"CASE WHEN (a.b$i > 0) <> (b.b$i > 0) THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+       |d AS (SELECT doc_id, $digits FROM h),
+       |s AS (SELECT doc_id, $sums FROM d GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |            CAST($ham AS INT) AS hamming
+       |          FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+  }
 
   private val triplesCte =
     s"""WITH transcripts AS ($T),
@@ -531,6 +599,20 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
 
+    "dd3_simhash_pairs" -> dd3Oracle,
+
+    "dd5_embed_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id, v FROM e
+        |      UNION ALL SELECT vec_id + 100000, list_transform(v, x -> x * 1.001)
+        |      FROM e WHERE vec_id < 50),
+        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |           round(list_inner_product(a.v, b.v) /
+        |             (sqrt(list_inner_product(a.v, a.v)) *
+        |              sqrt(list_inner_product(b.v, b.v))), 6) AS cosine
+        |         FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM cand WHERE cosine >= 0.999""".stripMargin,
+
     "dd4_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w,
         |  floor(length(text) / 8) AS bkt FROM documents),
@@ -573,6 +655,31 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
         |  FROM scored) WHERE rn <= 10""".stripMargin,
+
+    "ann2_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |copies AS (SELECT m * 100000 + vec_id AS vec_id,
+        |             list_transform(v, x -> x * (1.0 + m / 1000.0)) AS v
+        |           FROM e, LATERAL (SELECT unnest(range(1, 11)) AS m) t
+        |           WHERE vec_id < 5),
+        |corpus AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM copies),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    round(list_inner_product(qv, c.v) /
+        |      (sqrt(list_inner_product(qv, qv)) *
+        |       sqrt(list_inner_product(c.v, c.v))), 6) AS cosine
+        |  FROM q JOIN corpus c ON c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM scored) WHERE rn <= 10""".stripMargin,
+
+    "q11_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "tx1_langid" ->
       """WITH f AS (SELECT doc_id, text,

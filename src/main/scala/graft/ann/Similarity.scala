@@ -65,20 +65,29 @@ object Similarity {
    * scalars only.
    *
    * For a pair at distance d, a projection splits them w.p. ~ E|dot(Δ,a)|/w;
-   * with unit vectors, 64 dims and the defaults (planes=4, width=1.0) a
-   * d=0.01 pair survives one table w.p. ~0.83 and all 8 tables miss it
-   * w.p. ~1e-6. Raise `planes` (and `tables` with it) at larger N to bound
-   * bucket sizes, like every other LSH in this engine.
+   * with unit vectors, 64 dims, planes=4 and width=1.0 a d=0.01 pair
+   * survives one table w.p. ~0.83 and all 8 tables miss it w.p. ~1e-6.
+   * `planes < 0` (the default) derives the projection count from a corpus
+   * count ([[graft.link.MinHashBlocking.numBits]] — each extra projection
+   * multiplies the bucket count, so ~log2(n/1024) projections hold expected
+   * occupancy flat as the corpus grows); raise `tables` alongside at 10^9+
+   * rows to hold recall. Buckets are additionally capped at `maxBucket`
+   * members ([[graft.link.MinHashBlocking.capBuckets]]): a dense cluster at
+   * one bucket width is otherwise O(bucket^2) candidate pairs.
    */
   def euclideanPairs(df: DataFrame, idCol: String, vecCol: String,
-                     maxDist: Double, planes: Int = 4, width: Double = 1.0,
-                     tables: Int = 8): DataFrame = {
-    val indexed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+                     maxDist: Double, planes: Int = -1, width: Double = 1.0,
+                     tables: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    val p = if (planes >= 0) planes
+            else graft.link.MinHashBlocking.numBits(df.count())
+    val indexed0 = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           org.apache.spark.sql.graftfns.VectorExpressions
-            .euclidean_sig(col(vecCol), planes, t, width).as("sig"))): _*)).as("_b"))
+            .euclidean_sig(col(vecCol), p, t, width).as("sig"))): _*)).as("_b"))
       .select(col("_id"), col("_v"), col("_b.t").as("_t"), col("_b.sig").as("_sig"))
+    val indexed = graft.link.MinHashBlocking.capBuckets(
+      indexed0, Seq("_t", "_sig"), maxBucket)
     val a = indexed.select(col("_t"), col("_sig"), col("_id").as("id_a"), col("_v").as("_v_a"))
     val b = indexed.select(col("_t"), col("_sig"), col("_id").as("id_b"), col("_v").as("_v_b"))
     a.join(b, Seq("_t", "_sig"))

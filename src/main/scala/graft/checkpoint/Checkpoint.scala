@@ -27,12 +27,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * every stage in this engine is deterministic (seeded hashes only,
  * SURVEY.md §7 hard-part #4).
  *
- * Incremental state ([[mergeIncrement]]) is VERSIONED: each merge writes a
- * fresh `v_<n>` directory and commits it by atomically replacing a tiny
- * `_current` pointer file — the previous version stays intact until the new
- * one is fully written, so a crash at ANY point leaves a readable committed
- * state (the round-1 layout overwrote the state dir in place; a crash
- * mid-overwrite silently dropped all previously accumulated increments).
+ * Incremental state ([[mergeIncrement]]) is VERSIONED and HASH-BUCKETED:
+ * rows are assigned to `numBuckets` stable buckets by `pmod(xxhash64(key),
+ * N)` (the SURVEY §4 layout) and each merge rewrites ONLY the buckets the
+ * increment touches — I/O per merge is O(increment + touched buckets), not
+ * O(total state). (The round-2 layout re-read and re-wrote the FULL
+ * accumulated state on every increment — at 100 TB of accumulated state a
+ * 1 GB increment would cost a 100 TB read + write; same defect class as
+ * the reference's overwrite-union, `src2/main/scala/Main.scala:103-113`.)
+ * Untouched buckets are carried by MANIFEST REFERENCE to the older version
+ * directory that last wrote them. Commit = write data, write manifest,
+ * atomically replace a tiny `_current` pointer — the previous manifest and
+ * every directory it references stay intact until the new version is fully
+ * committed, so a crash at ANY point leaves a readable committed state.
  */
 object Checkpoint {
 
@@ -73,12 +80,20 @@ object Checkpoint {
     * stage (metadata-only — no second scan of the data). `dataPath` is where
     * the parquet files live; the sidecar is written to `sidecarDir`. */
   def writeMetrics(spark: SparkSession, name: String,
-                   dataPath: String, sidecarDir: String): Unit = {
+                   dataPath: String, sidecarDir: String): Unit =
+    writeMetricsForPaths(spark, name, Seq(dataPath), dataPath, sidecarDir)
+
+  /** Multi-directory variant (bucketed state spans version directories):
+    * file paths in the sidecar are relative to `base`, so the lineage shows
+    * which version directory each file came from. */
+  def writeMetricsForPaths(spark: SparkSession, name: String,
+                           dataPaths: Seq[String], base: String,
+                           sidecarDir: String): Unit = {
     val conf = hadoopConf(spark)
-    val fs = fsFor(dataPath, conf)
-    val files = listParquetFiles(fs, new Path(dataPath))
+    val fs = fsFor(base, conf)
+    val files = dataPaths.flatMap(p => listParquetFiles(fs, new Path(p)))
     val perFile = files.map { st =>
-      (relative(st.getPath.toString, dataPath), footerRowCount(st, conf), st.getLen)
+      (relative(st.getPath.toString, base), footerRowCount(st, conf), st.getLen)
     }.sortBy(_._1)
     val total = perFile.map(_._2).sum
     val bytes = perFile.map(_._3).sum
@@ -140,33 +155,66 @@ object Checkpoint {
     else """"rows":(\d+)""".r.findFirstMatchIn(readString(fs, mp)).map(_.group(1).toLong)
   }
 
-  // ---- versioned incremental state ----
+  // ---- versioned, hash-bucketed incremental state ----
+  //
+  // Layout (all under <dir>/<name>):
+  //   v_00007/_bucket=3/part-*.parquet  data for buckets version 7 rewrote
+  //   _manifest_v_00007.json            bucket -> data dir (older versions ok)
+  //   _current                          committed version pointer ("v_00007")
+  //   _metrics.json                     per-file lineage of the FULL state
 
   private val VersionRe = "v_(\\d{5})".r
+  private def vName(n: Int): String = f"v_$n%05d"
+  private def manifestPath(root: Path, n: Int): Path =
+    new Path(root, s"_manifest_${vName(n)}.json")
 
-  private def committedVersion(fs: FileSystem, root: Path): Option[Int] = {
+  /** Committed-state manifest: which version directory holds each bucket. */
+  final case class Manifest(version: Int, numBuckets: Int,
+                            buckets: Map[Int, String])
+
+  private def manifestJson(m: Manifest): String = {
+    val bs = m.buckets.toSeq.sortBy(_._1)
+      .map { case (k, p) => s""""$k":${jsonStr(p)}""" }.mkString("{", ",", "}")
+    s"""{"version":${m.version},"numBuckets":${m.numBuckets},"buckets":$bs}"""
+  }
+
+  private def parseManifest(s: String): Manifest = {
+    def int(field: String): Int =
+      (s""""$field":(\\d+)""").r.findFirstMatchIn(s).getOrElse(
+        throw new IllegalStateException(s"manifest missing $field: $s")).group(1).toInt
+    // bucket entries are the only quoted-key:quoted-value pairs we write
+    val buckets = """"(\d+)":"([^"]*)"""".r.findAllMatchIn(s)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+    Manifest(int("version"), int("numBuckets"), buckets)
+  }
+
+  private def isCommitted(fs: FileSystem, root: Path, n: Int): Boolean =
+    fs.exists(manifestPath(root, n)) &&
+      fs.exists(new Path(new Path(root, vName(n)), "_SUCCESS"))
+
+  private def committedManifest(fs: FileSystem, root: Path): Option[Manifest] = {
     val pointer = new Path(root, "_current")
-    if (fs.exists(pointer)) {
-      val v = readString(fs, pointer).trim
-      v match {
-        case VersionRe(n) if fs.exists(new Path(new Path(root, v), "_SUCCESS")) =>
-          Some(n.toInt)
-        case _ =>
-          throw new IllegalStateException(
+    val version: Option[Int] =
+      if (fs.exists(pointer)) {
+        readString(fs, pointer).trim match {
+          case v @ VersionRe(n) if isCommitted(fs, root, n.toInt) => Some(n.toInt)
+          case v => throw new IllegalStateException(
             s"$root/_current points at '$v' which is not a committed version")
+        }
+      } else {
+        // pointer missing: recover from the highest fully-committed version
+        // (manifest + data _SUCCESS). Safe because the merge is a monotone
+        // union-dedup: a newer committed version is a superset of any older
+        // one, and pruning keeps every directory the previous manifest
+        // references until the next commit completes.
+        val complete = listVersions(fs, root)
+        if (complete.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"Checkpoint: $root has committed versions but no _current pointer " +
+              s"(crash during commit?); recovering to ${vName(complete.max)}")
+        complete.maxOption
       }
-    } else {
-      // pointer missing: recover from the highest fully-written version, if
-      // any (a crash can only lose the pointer between two committed
-      // versions where the newer is a superset of the older — merge is a
-      // monotone union-dedup — so the highest complete version is correct).
-      val complete = listVersions(fs, root)
-      if (complete.nonEmpty)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          f"Checkpoint: $root has committed versions but no _current pointer " +
-            f"(crash during commit?); recovering to v_${complete.max}%05d")
-      complete.maxOption
-    }
+    version.map(n => parseManifest(readString(fs, manifestPath(root, n))))
   }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Int] =
@@ -174,63 +222,103 @@ object Checkpoint {
     else fs.listStatus(root).toSeq.collect {
       case st if st.isDirectory =>
         st.getPath.getName match {
-          case VersionRe(n) if fs.exists(new Path(st.getPath, "_SUCCESS")) => Some(n.toInt)
+          case VersionRe(n) if isCommitted(fs, root, n.toInt) => Some(n.toInt)
           case _ => None
         }
     }.flatten
 
-  /** Resolve the committed data path of a merged state table. */
-  def mergedPath(spark: SparkSession, dir: String, name: String): Option[String] = {
+  /** Absolute data paths (one per bucket) of a merged table's committed
+    * state. */
+  def committedBucketPaths(spark: SparkSession, dir: String, name: String): Seq[String] = {
     val root = new Path(stagePath(dir, name))
     val fs = root.getFileSystem(hadoopConf(spark))
-    committedVersion(fs, root).map(v => new Path(root, f"v_$v%05d").toString)
+    committedManifest(fs, root).toSeq
+      .flatMap(_.buckets.values.toSeq.distinct.sorted)
+      .map(p => new Path(root, p).toString)
   }
 
-  /** Read the committed state of a merged table. */
-  def readMerged(spark: SparkSession, dir: String, name: String): DataFrame =
-    mergedPath(spark, dir, name) match {
-      case Some(p) => spark.read.parquet(p)
-      case None => throw new IllegalStateException(
-        s"no committed state for merge table ${stagePath(dir, name)}")
-    }
+  /** Read the committed state of a merged table (all buckets). */
+  def readMerged(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val paths = committedBucketPaths(spark, dir, name)
+    if (paths.isEmpty) throw new IllegalStateException(
+      s"no committed state for merge table ${stagePath(dir, name)}")
+    spark.read.parquet(paths: _*)
+  }
 
   /**
    * Idempotent incremental merge (reference E1, `Main.scala:103-113`):
-   * new increment ∪ committed state, value-deduplicated, committed as a NEW
-   * version + atomic pointer swap. The previous version survives until the
-   * new one is fully committed, so there is no crash window that loses
-   * accumulated state. Old versions beyond the previous one are pruned.
+   * the increment is hash-bucketed on `keyCols`; ONLY the touched buckets
+   * are re-read, union-deduplicated with the increment, and rewritten into
+   * the new version directory — untouched buckets stay where they are and
+   * the new manifest keeps pointing at them. Replaying an increment is a
+   * no-op by value-dedup. `numBuckets` is fixed by the FIRST merge (later
+   * calls reuse the committed manifest's bucket count). Version directories
+   * referenced by neither the new nor the previous manifest are pruned.
    */
   def mergeIncrement(spark: SparkSession, dir: String, name: String,
-                     increment: DataFrame, keyCols: Seq[String]): DataFrame = {
+                     increment: DataFrame, keyCols: Seq[String],
+                     numBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val root = new Path(stagePath(dir, name))
     val fs = root.getFileSystem(hadoopConf(spark))
-    val current = committedVersion(fs, root)
-    val merged = current match {
-      case Some(v) =>
-        spark.read.parquet(new Path(root, f"v_$v%05d").toString)
-          .unionByName(increment).dropDuplicates(keyCols)
-      case None => increment.dropDuplicates(keyCols)
-    }
-    val next = current.getOrElse(0) + 1
-    val nextName = f"v_$next%05d"
-    val nextPath = new Path(root, nextName)
-    merged.write.mode("overwrite").parquet(nextPath.toString)
+    val current = committedManifest(fs, root)
+    val nb = current.map(_.numBuckets).getOrElse(numBuckets)
+    val bucketOf = pmod(xxhash64(keyCols.map(col): _*), lit(nb.toLong)).cast("int")
+    val inc = increment.withColumn("_bucket", bucketOf)
+    // touched bucket ids: a tiny driver collect (<= numBuckets values)
+    val touched = inc.select("_bucket").distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted
+    val oldBuckets = current.map(_.buckets).getOrElse(Map.empty[Int, String])
+    val oldTouchedPaths = touched.flatMap(oldBuckets.get).distinct
+      .map(p => new Path(root, p).toString)
+    // leaf-dir reads don't surface the partition column; the bucket is a
+    // pure function of the keys, so re-derive it
+    val merged = (if (oldTouchedPaths.nonEmpty)
+        spark.read.parquet(oldTouchedPaths: _*).withColumn("_bucket", bucketOf)
+          .unionByName(inc)
+      else inc).dropDuplicates(keyCols)
+    val next = current.map(_.version).getOrElse(0) + 1
+    val nextPath = new Path(root, vName(next))
+    merged.write.partitionBy("_bucket").mode("overwrite").parquet(nextPath.toString)
     require(fs.exists(new Path(nextPath, "_SUCCESS")),
       s"merge write of $nextPath did not produce _SUCCESS")
-    writeMetrics(spark, name, nextPath.toString, root.toString)
+    val newBuckets = oldBuckets ++ touched.map(k => k -> s"${vName(next)}/_bucket=$k")
+    // full-state lineage sidecar: every committed file with its row count,
+    // paths relative to the table root — so lineage shows which version
+    // directory (i.e. which merge) each bucket's files came from
+    writeMetricsForPaths(spark, name,
+      newBuckets.values.toSeq.distinct.sorted.map(p => new Path(root, p).toString),
+      root.toString, root.toString)
+    writeString(fs, manifestPath(root, next), manifestJson(Manifest(next, nb, newBuckets)))
     // commit: replace the pointer via write-temp-then-rename (rename of a
     // file is atomic on HDFS and posix file:; on object stores the pointer
     // is a single small object so the swap is still all-or-nothing)
     val tmp = new Path(root, "_current.tmp")
-    writeString(fs, tmp, nextName)
+    writeString(fs, tmp, vName(next))
     fs.delete(new Path(root, "_current"), false)
     if (!fs.rename(tmp, new Path(root, "_current")))
       throw new IllegalStateException(s"failed to commit pointer for $nextPath")
-    // prune versions older than the previous committed one
-    listVersions(fs, root).filter(v => v < next - 1).foreach { v =>
-      fs.delete(new Path(root, f"v_$v%05d"), true)
+    // prune: version dirs referenced by neither the new nor the previous
+    // manifest (the previous stays fully readable for crash recovery);
+    // manifests older than the previous go with them
+    val prevRefs = current.toSeq.flatMap(m =>
+      m.buckets.values.map(_.takeWhile(_ != '/')).toSeq :+ vName(m.version)).toSet
+    val newRefs = newBuckets.values.map(_.takeWhile(_ != '/')).toSet + vName(next)
+    val keep = prevRefs ++ newRefs
+    fs.listStatus(root).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      n match {
+        case VersionRe(_) if st.isDirectory && !keep.contains(n) =>
+          fs.delete(st.getPath, true)
+        case _ =>
+          val mre = "_manifest_v_(\\d{5})\\.json".r
+          n match {
+            case mre(v) if current.forall(c => v.toInt < c.version) && v.toInt != next =>
+              fs.delete(st.getPath, false)
+            case _ => ()
+          }
+      }
     }
-    spark.read.parquet(nextPath.toString)
+    readMerged(spark, dir, name)
   }
 }

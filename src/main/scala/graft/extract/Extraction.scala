@@ -72,6 +72,17 @@ object Extraction {
       // object = the rest minus the trailing dot with 1..128 chars, and no
       // newline anywhere (both groups are dot-classes; like RE2/DuckDB we
       // treat '$' as end-of-text, not before a trailing newline).
+      //
+      // CONTRACT — first-split-only: when the infix occurs MORE THAN ONCE
+      // and the text after the FIRST occurrence exceeds 128 chars, a
+      // backtracking regex engine would retry the match at a later
+      // occurrence while this guard rejects the row. That regime is
+      // ambiguous garbage, not data (a subject containing the relation
+      // phrase verbatim plus a >128-char tail); the engine's contract is
+      // the deterministic first-occurrence split, asserted as an explicit
+      // edge case in KGPipelineSpec ("multi-infix text beyond the length
+      // bound"). Single-occurrence texts — everything the fixtures and
+      // oracle can produce — are split identically by both formulations.
       val subj = substring_index(col("text"), r.infix, 1)
       val objPos = length(subj) + lit(r.infix.length + 1)
       val objLen = length(col("text")) - objPos

@@ -23,10 +23,11 @@ object Canonicalize {
    * @return entity table (mention_id, canonical_id, mention_type, norm,
    *         canonical_form, canonical_uri, n_occurrences)
    */
-  def entities(mentions: DataFrame, pairs: DataFrame): DataFrame = {
+  def entities(mentions: DataFrame, pairs: DataFrame,
+               ccReliable: Option[ConnectedComponents.Reliable] = None): DataFrame = {
     val withCc = ConnectedComponents.components(
       mentions, "mention_id",
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")), ccReliable)
       .withColumnRenamed("component", "canonical_id")
 
     // canonical surface form = the most frequent raw form in the cluster

@@ -91,6 +91,36 @@ object MinHashBlocking {
     math.max(2, math.ceil(
       math.log(1 - p) / math.log(1 - math.pow(threshold, rowsPerBand))).toInt)
 
+  /** Signature bits per LSH table so the EXPECTED bucket occupancy stays at
+    * `targetBucket` rows: bits ~ log2(n / targetBucket), floored at 4. The
+    * corpus-size analog of [[numHashTables]] — at 10^9 rows this yields ~20
+    * bits (≈10^6 buckets/table); a fixed bit width would leave bucket sizes
+    * growing linearly with the corpus and the within-bucket self-join
+    * quadratic. Raise `tables` alongside to hold recall (per-table collision
+    * probability falls as bits grow). */
+  def numBits(datasetSize: Long, targetBucket: Long = 1024L): Int = {
+    val ratio = datasetSize.toDouble / targetBucket
+    math.max(4, math.ceil(math.log(math.max(ratio, 1.0)) / math.log(2.0)).toInt)
+  }
+
+  /**
+   * Drop every row of any bucket with more than `maxBucket` members before a
+   * bucket self-join. A degenerate hot bucket (stop-shingle cluster, a
+   * low-entropy embedding region, 10^5 identical documents) otherwise
+   * produces O(bucket^2) candidate pairs — the one way any banded-LSH plan
+   * goes quadratic at scale. count + left_semi is partial-aggregatable and
+   * sort-free (cheaper than a row_number window), and the dropped pairs are
+   * by construction the spurious ones the verify step would discard anyway
+   * (true near-dup CLUSTERS that big should be handled by exact dedup first).
+   */
+  def capBuckets(df: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
+    val keep = df.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket)
+      .select(bucketCols.map(col): _*)
+    df.join(keep, bucketCols, "left_semi")
+  }
+
   def candidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
                      threshold: Double, k: Int = 0, extraKey: Seq[String] = Nil,
                      maxBucket: Int = 10000): DataFrame = {
@@ -104,14 +134,10 @@ object MinHashBlocking {
         extraKey.map(col): _*)))
       .select(col("_band"), col(idCol).as("_id"), col(shinglesCol).as("_sh"))
 
-    // drop pathological buckets entirely (a band bucket with >maxBucket
-    // members is a degenerate stop-shingle cluster; its pairs are spurious
-    // and quadratic). count+semi-join is cheaper than a row_number window:
-    // partial-aggregatable, no per-bucket sort.
-    val keepBuckets = withBands.groupBy("_band").agg(count(lit(1)).as("_n"))
-      .filter(col("_n") <= maxBucket)
-      .select("_band")
-    val capped = withBands.join(keepBuckets, Seq("_band"), "left_semi")
+    // drop pathological buckets entirely ([[capBuckets]] — a band bucket
+    // with >maxBucket members is a degenerate stop-shingle cluster; its
+    // pairs are spurious and quadratic).
+    val capped = capBuckets(withBands, Seq("_band"), maxBucket)
 
     val a = capped.select(col("_band"), col("_id").as("id_a"), col("_sh").as("_sh_a"),
       size(col("_sh")).as("_n_a"))

@@ -43,7 +43,13 @@ object KGPipeline {
         * more than recomputing its (codegen) extraction DAG twice — so this
         * is off by default and only worth it when MANY consumers follow
         * (e.g. the driver-contract kg4/kg5/kg6/kg7 query family). */
-      cacheLarge: Boolean = false)
+      cacheLarge: Boolean = false,
+      /** Durable-checkpoint cadence for the connected-components fixpoint
+        * (requires `checkpointDir`): every N rounds the edge set is staged
+        * through Parquet so an executor loss on a real cluster costs at most
+        * N rounds, not the job ([[graft.link.ConnectedComponents.Reliable]]).
+        * 0 = off (localCheckpoint only — the single-JVM fast path). */
+      ccReliableEvery: Int = 0)
 
   final case class Result(
       triplesRaw: DataFrame,
@@ -104,7 +110,12 @@ object KGPipeline {
     }
 
     val entities = shared(stage("entities") {
-      Canonicalize.entities(mentions.drop("shingles"), pairs)
+      val ccReliable =
+        if (cfg.ccReliableEvery > 0)
+          cfg.checkpointDir.map(d => graft.link.ConnectedComponents.Reliable(
+            s"$d/cc_rounds", cfg.ccReliableEvery))
+        else None
+      Canonicalize.entities(mentions.drop("shingles"), pairs, ccReliable)
     })
 
     val canonicalTriples = sharedLarge(stage("canonical_triples") {

@@ -59,17 +59,30 @@ object Dedup {
 
   /**
    * 64-bit SimHash over word tokens: bit_i = sign of the sum over tokens of
-   * (+1 / -1) by bit i of xxhash64(token). Pure column expressions —
+   * (+1 / -1) by bit i of the token hash. Pure column expressions —
    * explode + one groupBy with 64 conditional sums (partial-agg friendly),
    * bits reassembled with shiftleft/bitwise-or.
+   *
+   * The token hash is PORTABLE: bit j = bit (3 - j%4) of hex digit j/4 of
+   * md5(token). md5 + substring + integer shifts exist verbatim in DuckDB,
+   * so an independent SQL oracle can re-derive the signatures (the mm3
+   * portability trick); xxhash64 — the obvious faster choice — exists only
+   * in Spark, which would leave this whole family uncheckable end-to-end.
+   * The md5 runs once per token; the 16 hex-digit values are projected once
+   * and each feeds four bit-sums.
    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = df.select(col(idCol), explode(split(col(textCol), " ")).as("_tok"))
-      .withColumn("_h", xxhash64(col("_tok")))
+      .withColumn("_m", md5(col("_tok")))
+    val withDigits = tokens.select(
+      col(idCol) +: (0 until 16).map { k =>
+        conv(substring(col("_m"), k + 1, 1), 16, 10).cast("int").as(s"_d$k")
+      }: _*)
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"_b$i")
+      val bit = shiftright(col(s"_d${i / 4}"), 3 - (i % 4)).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"_b$i")
     }
-    val agged = tokens.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val agged = withDigits.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map { i =>
       when(col(s"_b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -78,9 +91,14 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
     * bands (any exact band match -> candidate; Hamming-verify <= maxHamming).
-    * By pigeonhole, any pair within Hamming distance 3 shares a band. */
+    * By pigeonhole, any pair within Hamming distance 3 shares a band, so on
+    * uncapped buckets the output is EXACTLY the <=maxHamming pair set.
+    * Band buckets are capped ([[MinHashBlocking.capBuckets]]): 16-bit bands
+    * give at most 65,536 buckets, so at 10^9 docs an average bucket holds
+    * ~15k members — without the cap one degenerate bucket contributes
+    * O(bucket^2) candidates per band. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val sh = simhash(df, idCol, textCol)
     val banded = sh.select(col(idCol).as("_id"), col("simhash"),
         explode(array((0 until 4).map { b =>
@@ -88,8 +106,9 @@ object Dedup {
             shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
         }: _*)).as("bk"))
       .select(col("_id"), col("simhash"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"), col("_id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("key"), col("_id").as("id_b"), col("simhash").as("sh_b"))
+    val capped = MinHashBlocking.capBuckets(banded, Seq("band", "key"), maxBucket)
+    val a = capped.select(col("band"), col("key"), col("_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = capped.select(col("band"), col("key"), col("_id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
@@ -141,25 +160,36 @@ object Dedup {
    *
    * Recall: per-bit agreement p = 1 - acos(cos)/pi; a true pair collides in
    * one table w.p. p^m + m*p^(m-1)*(1-p) (exact or any 1-bit probe); across
-   * T independent tables 1-(1-that)^T. Defaults (m=8, T=8) give >0.999 at
-   * cos=0.9 (p=0.856). At 10^9+ rows raise `bits` (~log2(N/targetBucket))
-   * and `tables` together to hold recall while bounding bucket sizes.
+   * T independent tables 1-(1-that)^T. m=8, T=8 give >0.999 at cos=0.9
+   * (p=0.856). `bits < 0` (the default) derives m from a corpus count the
+   * way [[graft.link.MinHashBlocking.numHashTables]] scales with
+   * datasetSize: m = [[graft.link.MinHashBlocking.numBits]](n) ~
+   * log2(n/1024), which holds EXPECTED bucket size flat as the corpus
+   * grows; raise `tables` alongside at 10^9+ rows to hold recall. `bits = 0`
+   * is the all-pairs degenerate form (one bucket — tests/truth only).
+   * Buckets are additionally CAPPED at `maxBucket` members
+   * ([[graft.link.MinHashBlocking.capBuckets]]): expected size flat does not
+   * bound a degenerate bucket (10^5 identical embeddings, a low-entropy
+   * corpus region), and one such bucket is O(bucket^2) pairs.
    *
    * Ordering: cosine-verify BEFORE the cross-table pair dedup, so the dedup
    * exchange carries (id_a, id_b, cosine) scalars — never the vectors.
    */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     minCosine: Double, bits: Int = 8, tables: Int = 8): DataFrame = {
-    val indexed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+                     minCosine: Double, bits: Int = -1, tables: Int = 8,
+                     maxBucket: Int = 10000): DataFrame = {
+    val m = if (bits >= 0) bits else MinHashBlocking.numBits(df.count())
+    val indexed0 = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          graft.ann.Similarity.hyperplaneSignature(col(vecCol), bits, t).as("sig"))): _*)).as("_b"))
+          graft.ann.Similarity.hyperplaneSignature(col(vecCol), m, t).as("sig"))): _*)).as("_b"))
       .select(col("_id"), col("_v"), col("_b.t").as("_t"), col("_b.sig").as("_s0"))
+    val indexed = MinHashBlocking.capBuckets(indexed0, Seq("_t", "_s0"), maxBucket)
     val a = indexed.select(col("_t"), col("_s0").as("_sig"),
       col("_id").as("id_a"), col("_v").as("_v_a"))
     // probe side: own bucket plus every 1-bit-flip bucket
     val b = indexed.withColumn("_sig",
-        explode(array(col("_s0") +: (0 until bits).map(bp =>
+        explode(array(col("_s0") +: (0 until m).map(bp =>
           col("_s0").bitwiseXOR(shiftleft(lit(1L), bp))): _*)))
       .select(col("_t"), col("_sig"), col("_id").as("id_b"), col("_v").as("_v_b"))
     a.join(b, Seq("_t", "_sig"))

@@ -67,6 +67,40 @@ class CheckpointSpec extends SparkSpec {
     assert(merged.count() == 3)
   }
 
+  test("mergeIncrement: an increment touching 1 of 16 buckets rewrites ONLY that bucket") {
+    val dir = tmpDir()
+    val root = new org.apache.hadoop.fs.Path(Checkpoint.stagePath(dir, "m"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def bucketDirs(version: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(root, version)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
+    // seed: 400 keys spread across all 16 buckets
+    val seed = (0 until 400).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Checkpoint.mergeIncrement(spark, dir, "m", seed, Seq("k", "v"))
+    val seeded = bucketDirs("v_00001")
+    assert(seeded.size == 16, s"seed spans all 16 buckets, got ${seeded.size}")
+
+    // single-key increment: the new version must contain exactly ONE bucket
+    val inc = Seq((9999L, "new")).toDF("k", "v")
+    val merged = Checkpoint.mergeIncrement(spark, dir, "m", inc, Seq("k", "v"))
+    assert(merged.count() == 401)
+    val rewritten = bucketDirs("v_00002")
+    assert(rewritten.size == 1, s"only the touched bucket is rewritten, got $rewritten")
+    // untouched buckets still live in (and are read from) v_00001
+    val paths = Checkpoint.committedBucketPaths(spark, dir, "m")
+    assert(paths.count(_.contains("v_00001")) == 15)
+    assert(paths.count(_.contains("v_00002")) == 1)
+    // per-file lineage sidecar spans both versions and records the full state
+    val metrics = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"${Checkpoint.stagePath(dir, "m")}/_metrics.json"))
+    assert(metrics.contains("v_00001/") && metrics.contains("v_00002/"))
+    assert(Checkpoint.recordedRows(spark, dir, "m").contains(401L))
+    // replay of the same increment is a no-op on row count
+    assert(Checkpoint.mergeIncrement(spark, dir, "m", inc, Seq("k", "v")).count() == 401)
+  }
+
   test("kill-and-resume: pipeline restarted mid-way reuses completed stages") {
     val dir = tmpDir()
     val tr = TranscriptGen.transcripts(spark, 50)

@@ -88,6 +88,54 @@ class DedupSpec extends SparkSpec {
     assert(got.subsetOf(truth), "cosine-verified: no false positives possible")
   }
 
+  test("simhashPairs: degenerate bucket (30k identical docs) is capped, not quadratic") {
+    // 30k identical docs would produce ~4.5e8 candidate pairs per band
+    // without the cap; with it the clone bucket is dropped entirely and the
+    // two planted near-dups elsewhere still pair.
+    val clones = spark.range(30000)
+      .select(col("id"), lit("clone clone common text payload here").as("text"))
+    // identical planted docs: Hamming 0, guaranteed <= maxHamming
+    val planted = Seq(
+      (100000L, "a distinct document about spark engines and scale"),
+      (100001L, "a distinct document about spark engines and scale"))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashPairs(clones.unionByName(planted), "id", "text", 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length < 100, s"bounded output, got ${pairs.length}")
+    assert(pairs.exists(p => p._1 == 100000L && p._2 == 100001L),
+      "planted near-dup outside the hot bucket still found")
+    assert(!pairs.exists(p => p._1 < 30000L), "clone-cluster pairs dropped by the cap")
+  }
+
+  test("embeddingPairs: degenerate bucket (30k identical vectors) is capped, not quadratic") {
+    val rnd = new scala.util.Random(11)
+    val v0 = Array.fill(16)(rnd.nextGaussian())
+    val v1 = Array.fill(16)(rnd.nextGaussian())
+    val clones = spark.range(30000).select(col("id"), typedLit(v0.toSeq).as("v"))
+    val planted = Seq((100000L, v1.toSeq), (100001L, v1.map(_ * 1.001).toSeq))
+      .toDF("id", "v")
+    val pairs = Dedup.embeddingPairs(clones.unionByName(planted), "id", "v", 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length < 100, s"bounded output, got ${pairs.length}")
+    assert(pairs.contains((100000L, 100001L)), "planted pair still found")
+    assert(!pairs.exists(p => p._1 < 30000L), "clone-cluster pairs dropped by the cap")
+  }
+
+  test("euclideanPairs: degenerate bucket (30k identical vectors) is capped, not quadratic") {
+    val rnd = new scala.util.Random(13)
+    val v0 = Array.fill(16)(rnd.nextGaussian())
+    val v1 = Array.fill(16)(rnd.nextGaussian())
+    val clones = spark.range(30000).select(col("id"), typedLit(v0.toSeq).as("v"))
+    val planted = Seq((100000L, v1.toSeq), (100001L, v1.map(_ * 1.0001).toSeq))
+      .toDF("id", "v")
+    val pairs = graft.ann.Similarity
+      .euclideanPairs(clones.unionByName(planted), "id", "v", 0.01)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length < 100, s"bounded output, got ${pairs.length}")
+    assert(pairs.contains((100000L, 100001L)), "planted pair still found")
+    assert(!pairs.exists(p => p._1 < 30000L), "clone-cluster pairs dropped by the cap")
+  }
+
   test("fingerprints: identical normalized docs share fp_content; shingle fp survives prefix edits") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

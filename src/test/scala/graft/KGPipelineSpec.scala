@@ -59,6 +59,14 @@ class KGPipelineSpec extends SparkSpec {
       "Alice works at .",              // empty obj -> no match
       "Alice works at Bob works at C.",// infix twice: subj = before FIRST
       "Alice\nworks at Acme.",         // newline -> no match (RE2 semantics)
+      // CONTRACT EDGE (first-split-only, documented in Extraction.triplesRaw):
+      // infix twice, first-split object = 110+10+9 = 129 > 128 chars, but
+      // the SECOND split satisfies both bounds (subj 1+10+110=121, obj 9).
+      // A backtracking engine (java.util.regex) matches there; this
+      // engine's contract rejects the row — deterministic first-occurrence
+      // split only. (Verified unreachable from fixture/oracle texts, whose
+      // subjects/objects never contain a relation phrase.)
+      s"A works at ${"y" * 110} works at Acme Corp.",
       "no fact here.").toDF("text")
       .withColumn("conv_id", lit("c")).withColumn("turn_idx", monotonically_increasing_id())
     val got = Extraction.triplesRaw(edge)
@@ -112,6 +120,32 @@ class KGPipelineSpec extends SparkSpec {
       result.canonicalTriples, keepSameType = true)
       .select("predicate").as[String].collect().toSet
     assert(kept.contains("reports_to"))
+  }
+
+  test("JdbcTranscripts.toContract: mocked remote schemas land on the pinned contract") {
+    import graft.sources.JdbcTranscripts
+    // typical remote widenings: BIGINT turn_idx, epoch-millis BIGINT ts,
+    // empty-string tool, extra column to prune
+    val remote = Seq(
+      ("c1", 0L, "user", "Alice works at Acme.", "", 1700000000000L, "junk"),
+      ("c1", 1L, "tool", "ok", "db_query", 1700000001000L, "junk"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "extra")
+    val got = JdbcTranscripts.toContract(remote)
+    // names+types must match the contract (nullability may tighten when the
+    // mocked source is non-null — irrelevant to the contract)
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      JdbcTranscripts.contractSchema.map(f => (f.name, f.dataType)),
+      s"contract schema mismatch: ${got.schema}")
+    val rows = got.collect()
+    assert(rows(0).isNullAt(4), "empty-string tool becomes null")
+    assert(rows(1).getString(4) == "db_query")
+    assert(rows(0).getTimestamp(5).getTime == 1700000000000L, "epoch-millis ts decoded")
+    // extraction runs unchanged on the adapted frame
+    assert(Extraction.triplesRaw(got).count() == 1)
+    // a remote missing a contract column fails loudly, not with a late AnalysisException
+    val bad = Seq(("c1", 0)).toDF("conv_id", "turn_idx")
+    val err = intercept[IllegalArgumentException](JdbcTranscripts.toContract(bad))
+    assert(err.getMessage.contains("missing contract columns"))
   }
 
   test("driver contract: SparkEntry.entry returns a non-empty triple set") {
