@@ -244,6 +244,24 @@ object SparkEntry {
           (max(col("_us")) - min(col("_us"))).as("duration_us"))
     }),
 
+    // majority-vote column type inference (A11, src2/main/scala/Main.scala:
+    // 299-318 — there a driver take(1000) loop; here one distributed
+    // classify + groupBy + window-top-1 pass). Input poses as a schemaless
+    // all-string ingest: every events column stringified, so the engine must
+    // re-discover LONG/DOUBLE/BOOLEAN/TIMESTAMP/STRING from the values.
+    "q12_infer_types" -> ((s, dir) => {
+      val asStrings = tbl(s, dir, "events").select(
+        col("event_id").cast("string").as("event_id_s"),
+        col("value").cast("string").as("value_s"),
+        col("ts").cast("string").as("ts_s"),
+        (col("value") > 50).cast("string").as("flag_s"),
+        col("event_type"),
+        col("props"))
+      SchemaDiscovery.inferColumnTypes(asStrings,
+        Seq("event_id_s", "value_s", "ts_s", "flag_s", "event_type", "props"),
+        sampleFraction = 1.0)
+    }),
+
     // ---- training-data pipeline: deduplication ----
 
     // exact dedup: survivor per normalized text (input = two "snapshots")
@@ -333,6 +351,20 @@ object SparkEntry {
           transform(col("v"), x => x * (lit(1.0) + col("m") / lit(1000.0))).as("v"))
       graft.ann.Similarity.lshTopK(
         queries, emb.unionByName(copies), "vec_id", "v", 10)
+    }),
+
+    // IVF-Flat ANN (inverted-file coarse quantizer — the third ANN path
+    // beside brute force and LSH). Probing ALL nLists cells makes the
+    // result exactly the brute-force top-10 (each corpus vector lives in
+    // exactly one cell), so the full index-build + probe machinery is
+    // oracle-checked end-to-end; recall at partial probe (the approximate
+    // regime) is asserted in AnnAndTextSpec.
+    "ann3_ivf_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      graft.ann.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "v", 10,
+        nLists = 16, nProbe = 16)
     }),
 
     // ---- training-data pipeline: text analysis ----
@@ -581,6 +613,34 @@ object SparkEntry {
         |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
         |FROM sessioned GROUP BY 1, 2""".stripMargin,
 
+    "q12_infer_types" ->
+      """WITH src AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS event_id_s,
+        |         CAST(value AS VARCHAR) AS value_s,
+        |         CAST(ts AS VARCHAR) AS ts_s,
+        |         CAST(value > 50 AS VARCHAR) AS flag_s,
+        |         event_type, props FROM events),
+        |vals AS (
+        |  SELECT 'event_id_s' AS "column", event_id_s AS v FROM src WHERE event_id_s IS NOT NULL
+        |  UNION ALL SELECT 'value_s', value_s FROM src WHERE value_s IS NOT NULL
+        |  UNION ALL SELECT 'ts_s', ts_s FROM src WHERE ts_s IS NOT NULL
+        |  UNION ALL SELECT 'flag_s', flag_s FROM src WHERE flag_s IS NOT NULL
+        |  UNION ALL SELECT 'event_type', event_type FROM src WHERE event_type IS NOT NULL
+        |  UNION ALL SELECT 'props', props FROM src WHERE props IS NOT NULL),
+        |cls AS (
+        |  SELECT "column",
+        |    CASE WHEN TRY_CAST(v AS BIGINT) IS NOT NULL AND NOT contains(v, '.') THEN 'LONG'
+        |         WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 'DOUBLE'
+        |         WHEN lower(v) IN ('true', 'false') THEN 'BOOLEAN'
+        |         WHEN TRY_CAST(v AS TIMESTAMP) IS NOT NULL THEN 'TIMESTAMP'
+        |         ELSE 'STRING' END AS vtype
+        |  FROM vals),
+        |cnt AS (SELECT "column", vtype, COUNT(*) AS c FROM cls GROUP BY 1, 2)
+        |SELECT "column", vtype AS inferred_type FROM (
+        |  SELECT "column", vtype,
+        |    row_number() OVER (PARTITION BY "column" ORDER BY c DESC, vtype) AS rn
+        |  FROM cnt) WHERE rn = 1""".stripMargin,
+
     "dd1_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM (
         |  SELECT doc_id, text FROM documents
@@ -670,6 +730,19 @@ object SparkEntry {
         |      (sqrt(list_inner_product(qv, qv)) *
         |       sqrt(list_inner_product(c.v, c.v))), 6) AS cosine
         |  FROM q JOIN corpus c ON c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM scored) WHERE rn <= 10""".stripMargin,
+
+    "ann3_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_inner_product(qv, e.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(qv, qv)) *
+        |       sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
         |  FROM scored) WHERE rn <= 10""".stripMargin,

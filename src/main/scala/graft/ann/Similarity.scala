@@ -130,6 +130,123 @@ object Similarity {
    * correlated neighbors (p~0.6). At 10^9+ scale raise `bits` so expected
    * bucket size stays bounded (bits ~ log2(N / targetBucket)).
    */
+  /**
+   * IVF (inverted-file) coarse quantizer: assign every corpus vector to its
+   * nearest of `nLists` centroid cells. The standard ANN index layout
+   * (IVF-Flat): persist the result partitioned by `cell` and each query
+   * scans only `nProbe` cells instead of the whole corpus.
+   *
+   * Centroids are deterministic hash-sampled corpus rows (distributed
+   * top-`nLists` by `xxhash64(id)` — a TakeOrdered, no full sort, no
+   * driver-side k-means fit; a trained codebook DataFrame is a drop-in via
+   * the overload). Hash-sampling is the classic "random pivots" coarse
+   * quantizer: cells are Voronoi regions of sampled points, so expected
+   * occupancy is n/nLists regardless of the data distribution.
+   *
+   * Spark shape at scale: centroids (~nLists rows) always broadcast; the
+   * argmin is `min(struct(dist, cell))` — a partial-aggregatable scalar
+   * reduction whose single shuffle carries each corpus vector ONCE (keyed
+   * by id), deterministic under ties (struct ordering breaks by cell).
+   */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val cents = broadcast(centroids.select(col("cell"), col("cvec")))
+    c.crossJoin(cents)
+      .withColumn("_d", round(l2(col("_v"), col("cvec")), 9))
+      .groupBy("_id")
+      .agg(min(struct(col("_d"), col("cell"))).getField("cell").as("cell"),
+        first(col("_v")).as("_v"))
+      .select(col("_id").as(idCol), col("cell"), col("_v").as(vecCol))
+  }
+
+  /** Deterministic centroid table: `nLists` hash-sampled corpus rows
+    * (distributed top-k by `xxhash64(id)`, not a sort) refined by
+    * `lloydIters` k-means steps over a BOUNDED training sample
+    * (`nLists * trainPerList` rows, also hash-top-k) — quantizer cost is
+    * independent of corpus size, the standard train-on-a-sample posture.
+    * Raw random pivots fit unstructured embeddings poorly (measured
+    * recall@10 0.675 at nProbe/nLists=1/2 on the fixture; one Lloyd step
+    * lifts cell locality); empty cells keep their previous centroid.
+    * No driver-side fit: the mean is `posexplode → avg → re-assemble`,
+    * all partial-aggregatable. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nLists: Int, lloydIters: Int = 1,
+                   trainPerList: Int = 256): DataFrame = {
+    val seeds = corpus
+      .select(xxhash64(col(idCol)).as("_h"), col(vecCol).as("cvec"))
+      .orderBy("_h").limit(nLists)
+      // nLists rows: the single-partition window is on the tiny sampled set
+      .withColumn("cell",
+        row_number().over(Window.orderBy("_h")).cast("int") - 1)
+      .select("cell", "cvec")
+    if (lloydIters <= 0) seeds
+    else {
+      val train = corpus
+        .select(xxhash64(col(idCol)).as("_h"), col(idCol).as("_tid"),
+          col(vecCol).as("_tv"))
+        .orderBy("_h").limit(nLists * trainPerList)
+        .select("_tid", "_tv")
+      var cents = seeds
+      for (_ <- 1 to lloydIters) {
+        val assigned = ivfAssign(train, cents, "_tid", "_tv")
+        val means = assigned
+          .select(col("cell"), posexplode(col("_tv")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("_pm"))
+          .select(col("cell"), transform(col("_pm"), p => p.getField("m")).as("_mvec"))
+        cents = cents.join(means, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("_mvec"), col("cvec")).as("cvec"))
+      }
+      cents
+    }
+  }
+
+  /**
+   * IVF-Flat approximate top-k: each query exactly-scores only the `nProbe`
+   * cells whose centroids are nearest it — work per query ~ corpus *
+   * nProbe/nLists. With `nProbe == nLists` the probe set is the whole
+   * corpus (each row is in exactly one cell), so the result EQUALS
+   * [[bruteForceTopK]] — the plumbing is exact; recall at partial probe is
+   * the quality knob (asserted >= 0.7 at nProbe/nLists = 1/4 in tests).
+   *
+   * Scale: queries and their probe fan-out are broadcast (q * nProbe rows);
+   * the corpus side arrives already partitioned by `cell` when `assigned`
+   * was persisted that way, making the probe join shuffle-free on the big
+   * side.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nLists)
+    val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+    ivfTopKPrebuilt(queries, assigned, cents, idCol, vecCol, k, nProbe)
+  }
+
+  /** IVF probe over a prebuilt (assigned, centroids) index — the persisted
+    * index path: `assigned` = [[ivfAssign]] output (id, cell, vec), ideally
+    * stored partitioned/bucketed by `cell`. */
+  def ivfTopKPrebuilt(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+                      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(centroids.select(col("cell"), col("cvec")))
+    val wq = Window.partitionBy("query_id").orderBy(col("_d"), col("cell"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(cents)
+      .withColumn("_d", round(l2(col("_qv"), col("cvec")), 9))
+      .withColumn("_pr", row_number().over(wq))
+      .filter(col("_pr") <= nProbe)
+      .select("query_id", "_qv", "cell")
+    val scored = broadcast(probes)
+      .join(assigned, "cell")
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cosine", round(cosine(col("_qv"), col(vecCol)), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 6, tables: Int = 8): DataFrame = {
     val c = corpus.select(

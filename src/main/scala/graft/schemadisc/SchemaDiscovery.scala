@@ -67,7 +67,12 @@ object SchemaDiscovery {
    */
   def inferColumnTypes(df: DataFrame, cols: Seq[String], sampleFraction: Double = 0.1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sampled = df.sample(withReplacement = false, sampleFraction, seed = 42L)
+    // fraction >= 1 means "classify everything" — skip the sampler so the
+    // result is engine-portable (a seeded Bernoulli sample is deterministic
+    // for Spark but not re-derivable by an external oracle)
+    val sampled =
+      if (sampleFraction >= 1.0) df
+      else df.sample(withReplacement = false, sampleFraction, seed = 42L)
     val classified = cols.map { c =>
       // try_cast everywhere: ANSI mode (Spark 4 default) errors on invalid
       // plain casts

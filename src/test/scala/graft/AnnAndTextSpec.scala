@@ -87,6 +87,42 @@ class AnnAndTextSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("ivf ANN: probing all cells equals brute force exactly") {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "v", 10)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, e, "vec_id", "v", 10, nLists = 16, nProbe = 16)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == exact, "nProbe == nLists must reduce IVF to exact search")
+  }
+
+  test("ivf ANN: partial probe keeps recall@10 >= 0.7 while scanning a fraction") {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "v", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(queries, e, "vec_id", "v", 10, nLists = 16, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"IVF recall@10 at nProbe/nLists=1/2: $recall%.3f")
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("ivf assignment: every corpus vector lands in exactly one of nLists cells") {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = Similarity.ivfCentroids(e, "vec_id", "v", 16)
+    assert(cents.count() == 16)
+    val assigned = Similarity.ivfAssign(e, cents, "vec_id", "v")
+    assert(assigned.count() == e.count(), "assignment is a total function")
+    val cells = assigned.select("cell").distinct().as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 16))
+    assert(cells.length > 4, "occupancy spreads across cells")
+  }
+
   test("hyperplane signature: deterministic and similarity-sensitive") {
     val s1 = emb.select(Similarity.hyperplaneSignature(col("embedding"), 16).as("s"))
       .as[Long].collect()

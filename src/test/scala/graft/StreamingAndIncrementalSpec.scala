@@ -48,6 +48,46 @@ class StreamingAndIncrementalSpec extends SparkSpec {
       Seq("window_start", "role", "n_turns"))
   }
 
+  test("streaming dedup: bounded-state dropDuplicatesWithinWatermark == batch exact dedup") {
+    val base = Files.createTempDirectory("graft_sdedup").toString
+    val in = s"$base/in"
+    val tr = TranscriptGen.transcripts(spark, 80)
+    // duplicate every turn under a shifted conv_id: same text, same ts
+    tr.unionByName(tr.withColumn("conv_id", concat(lit("dup_"), col("conv_id"))))
+      .write.mode("overwrite").parquet(in)
+    val q = StreamingIngest.dedupStream(spark, in).writeStream
+      .format("memory").queryName("sdedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sdedup").count()
+    val expected = tr.select(sha2(lower(trim(col("text"))), 256)).distinct().count()
+    assert(got == expected,
+      s"streamed dedup kept $got rows, batch-distinct digests = $expected")
+  }
+
+  test("mapGroupsWithState conversation accumulator matches batch per-conv stats") {
+    val base = Files.createTempDirectory("graft_state").toString
+    val in = s"$base/in"
+    val tr = TranscriptGen.transcripts(spark, 60).cache()
+    tr.write.mode("overwrite").parquet(in)
+    val q = StreamingIngest.conversationStates(spark, in).writeStream
+      .format("memory").queryName("convstates")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode + possibly several micro-batches: keep the LAST update per
+    // conversation (highest n_turns — the accumulator is monotone)
+    val got = spark.table("convstates")
+      .groupBy("conv_id")
+      .agg(max(col("n_turns")).as("n_turns"), max(col("max_turn_idx")).as("max_turn_idx"))
+      .as[(String, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = tr.groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), max(col("turn_idx")).as("mx"))
+      .as[(String, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected, "stateful accumulator equals batch groupBy")
+  }
+
   test("incremental ingest: overlapping increments merge idempotently and " +
     "finalize == single batch run") {
     val stateDir = Files.createTempDirectory("graft_inc").toString
