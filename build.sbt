@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode: the forked JVM IS the whole cluster — size it like one
   // (8g starves a 32-thread run into GC thrash; box has 125g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // whole-stage codegen emits a large compiled method per query stage; with
+  // the JDK default (240m) the code cache can fill across a many-query
+  // session, and a full cache silently stops JIT compilation — profiling
+  // caught single trials of an unchanged plan burning 20-40x the CPU
+  // (interpreted codegen) with best-trial behavior restored afterwards
+  "-XX:ReservedCodeCacheSize=512m",
 )

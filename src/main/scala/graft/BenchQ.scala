@@ -28,18 +28,65 @@ object BenchQ {
     spark.sparkContext.setLogLevel("WARN")
     def load1: String = scala.util.Try(java.nio.file.Files.readString(
       java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)).getOrElse("-1")
+    // Task-metric listener: separates "host stole the cpu" (wall >> runTime)
+    // from "the engine did more work" (runTime/cpuTime/GC grew). Counters
+    // are cumulative; each trial reports the delta.
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          runMs.addAndGet(m.executorRunTime)
+          cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+          gcMs.addAndGet(m.jvmGCTime)
+        }
+      }
+    })
+    // BENCHQ_PLAN=1: after each trial, print the operator census of the
+    // EXECUTED plan (post-AQE — shows the join strategies and exchange
+    // reuse the run actually got, which can differ between trials)
+    val showPlan = sys.env.get("BENCHQ_PLAN").contains("1")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val walls = (1 to trials).map { _ =>
         spark.catalog.clearCache()
+        val (r0, c0, g0) = (runMs.get, cpuMs.get, gcMs.get)
         val t0 = System.nanoTime()
-        fn(spark, sfDir)
+        val df = fn(spark, sfDir)
           .select(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))).as("_force"))
-          .head()
-        (System.nanoTime() - t0) / 1e9
+        df.head()
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (showPlan) {
+          val census = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+          def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+            val n = p.getClass.getSimpleName
+            census(n) = census.getOrElse(n, 0) + 1
+            p.children.foreach(walk)
+            p match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                walk(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                walk(q.plan)
+              case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => ()
+              case _ => ()
+            }
+          }
+          walk(df.queryExecution.executedPlan)
+          println(s"BENCHQ_PLAN $name " + census.filter { case (k, _) =>
+            k.contains("Join") || k.contains("Exchange") || k.contains("Aggregate") ||
+              k.contains("Generate") || k.contains("Scan")
+          }.map { case (k, v) => s"$k=$v" }.mkString(","))
+        }
+        // listener events drain asynchronously; give the bus a moment
+        Thread.sleep(300)
+        (wall, (runMs.get - r0) / 1e3, (cpuMs.get - c0) / 1e3, (gcMs.get - g0) / 1e3)
       }
-      println(f"BENCHQ $name trials=[${walls.map(w => f"$w%.2f").mkString(",")}] " +
-        f"best=${walls.min}%.2f load1=${load1}")
+      val ts = walls.map { case (w, r, c, g) =>
+        f"{wall:$w%.2f,run:$r%.1f,cpu:$c%.1f,gc:$g%.1f}"
+      }.mkString(",")
+      println(f"BENCHQ $name trials=[$ts] best=${walls.map(_._1).min}%.2f load1=${load1}")
     }
     spark.stop()
   }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Session-extensions entry point: registers every native graft expression
+ * as a SQL function at session build time, so a cluster deployment enables
+ * the engine's functions with
+ *
+ *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+ *
+ * or `SparkSession.builder().withExtensions(new GraftExtensions)` in code —
+ * no per-session imperative registration calls. This is the standard
+ * library-integration surface (the same hook Iceberg/Delta use); the
+ * `register(spark)` helpers on the expression objects remain for notebook
+ * use on an already-built session.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import org.apache.spark.sql.graftfns.{TextExpressions, VectorExpressions}
+
+  private def fn(name: String, arity: Int,
+                 build: Seq[Expression] => Expression):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val builder = (exprs: Seq[Expression]) => {
+      require(exprs.length == arity, s"$name expects $arity arguments, got ${exprs.length}")
+      build(exprs)
+    }
+    (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("normalize_text", 1,
+      es => TextExpressions.NormalizeText(es.head)))
+    ext.injectFunction(fn("cosine_fast", 2,
+      es => VectorExpressions.CosineSimilarity(es(0), es(1))))
+    ext.injectFunction(fn("l2_dist", 2,
+      es => VectorExpressions.L2Distance(es(0), es(1))))
+    ext.injectFunction(fn("hyperplane_sig", 3,
+      es => VectorExpressions.HyperplaneSignature(es(0), es(1), es(2))))
+    ext.injectFunction(fn("euclidean_sig", 4, es => {
+      // bucket width is a constructor parameter (compile-time constant in
+      // every generated plan) — fold the SQL argument at build time
+      require(es(3).foldable, "euclidean_sig width must be a literal")
+      val w = es(3).eval() match {
+        case d: java.lang.Number => d.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"euclidean_sig width must be numeric, got $other")
+      }
+      VectorExpressions.EuclideanSignature(es(0), es(1), es(2), w)
+    }))
+  }
+}

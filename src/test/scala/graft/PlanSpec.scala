@@ -59,4 +59,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "query set must broadcast")
   }
+
+  test("GraftExtensions: spark.sql.extensions registers the native functions") {
+    // a derived session over the shared SparkContext, built THROUGH the
+    // extensions hook (the spark-submit deployment path). getOrCreate
+    // returns the existing default session untouched unless it is cleared
+    // first — restore it after, or every later suite inherits this one.
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force lazy init before clearing
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT cosine_fast(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+          |       l2_dist(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS d,
+          |       normalize_text('  A  b!!C ') AS t,
+          |       hyperplane_sig(array(1.0D, 2.0D), 8, 0) AS h,
+          |       euclidean_sig(array(1.0D, 2.0D), 4, 0, 1.0D) AS e""".stripMargin)
+        .collect()(0)
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(math.abs(r.getDouble(1) - 5.0) < 1e-12)
+      assert(r.getString(2) == "a bc")
+      // parity with the Column-API construction of the same expressions
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.graftfns.VectorExpressions
+      val viaColumn = s2.range(1).select(
+        VectorExpressions.hyperplane_sig(array(lit(1.0), lit(2.0)), 8, 0).as("h"),
+        VectorExpressions.euclidean_sig(array(lit(1.0), lit(2.0)), 4, 0, 1.0).as("e"))
+        .collect()(0)
+      assert(r.getLong(3) == viaColumn.getLong(0))
+      assert(r.getLong(4) == viaColumn.getLong(1))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
