@@ -13,12 +13,115 @@ import graft.pipeline.KGPipeline
  *  1. headline operator queries on SPARK_GRAFT_SF_DIR (driver contract);
  *  2. KG-pipeline throughput (turns/sec, triples/sec) on a deterministic
  *     synthetic transcript fixture — the engine's north-rule metric;
- *  3. scaling evidence: the SAME pipeline + input at local[8] vs local[32]
- *     (no real cluster in this sandbox; two parallelism levels stand in for
- *     N vs 4N executors per BASELINE.md), reporting throughput at both and
+ *  3. scaling evidence: the SAME pipeline + input at two parallelism levels
+ *     (no real cluster in this sandbox; thread counts stand in for N vs 4N
+ *     executors per BASELINE.md), reporting throughput at both and
  *     efficiency = (thr_4N / thr_N) / 4.
+ *
+ * Budget discipline (round-3 postmortem: the driver's bench timed out,
+ * rc=124, and the round lost its independent artifact): the run operates
+ * under a wall-clock budget and ALWAYS emits a parsable line.
+ *  - `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1380) is checked between
+ *    queries and between trials; when the remaining budget can't cover a
+ *    trial's estimated wall, that trial is skipped — trials-per-level
+ *    degrade first, then whole levels, never the emit.
+ *  - `SPARK_GRAFT_BENCH_TRIALS` (default 3) caps trials per level; the
+ *    minimum viable set (1 trial at full threads for the kg headline, 1 at
+ *    each primary-pair level for scaling) runs FIRST, extra trials only
+ *    spend leftover budget.
+ *  - The JSON line is printed from a JVM shutdown hook over mutable section
+ *    state, so a SIGTERM from an external `timeout` still produces the
+ *    artifact with every section that completed (sections record
+ *    incrementally; "partial":true marks a truncated run).
  */
 object Bench {
+
+  // ---- incrementally-built section state (read by the shutdown hook) ----
+  private val queryTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  private val errors = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val skipped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // level -> trials of (wallSec, hwProbeSec, hostLoad1)
+  private val allTrials =
+    new java.util.concurrent.ConcurrentHashMap[String, List[(Double, Double, Double)]]()
+  private val levelOrder = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  @volatile private var sfDirSeen: String = ""
+  // fixture label ("big" | "small") -> (turns, triples)
+  private val fixtureCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  @volatile private var complete: Boolean = false
+  private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else d.toString
+
+  /** Build the JSON line from whatever state exists right now. */
+  private def buildJson(): String = {
+    import scala.jdk.CollectionConverters._
+    val qs = queryTimes.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    val errJson = errors.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skipJson = skipped.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = queryTimes.asScala.values.filter(_ >= 0).sum
+
+    def trialsOf(level: String): List[(Double, Double, Double)] =
+      Option(allTrials.get(level)).getOrElse(Nil)
+    def bestWall(level: String): Option[Double] =
+      trialsOf(level).map(_._1).minOption
+    def bestHw(level: String): Option[Double] =
+      trialsOf(level).map(_._2).minOption
+
+    val trialsJson = levelOrder.asScala.map { level =>
+      "\"" + level + "\":" + trialsOf(level).reverse.map { case (w, hw, l) =>
+        s"""{"wall_sec":${jnum(w)},"hw_probe_sec":${jnum(hw)},"host_load1":${jnum(l)}}"""
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+
+    def pairJson(lowLevel: String, highLevel: String, lowT: Int, highT: Int,
+                 fixture: String): (String, Option[Double]) = {
+      (bestWall(lowLevel), bestWall(highLevel), Option(fixtureCounts.get(fixture))) match {
+        case (Some(wl), Some(wh), Some((_, triples))) =>
+          val factor = highT.toDouble / lowT
+          val eff = (wl / wh) / factor
+          val hwEff = (for { hl <- bestHw(lowLevel); hh <- bestHw(highLevel) }
+            yield (hl / hh) / factor).getOrElse(Double.NaN)
+          (s"""{"threads_low":$lowT,"threads_high":$highT,"fixture":"$fixture",""" +
+            s""""wall_low_sec":${jnum(wl)},"wall_high_sec":${jnum(wh)},""" +
+            s""""triples_per_sec_low":${jnum(triples / wl)},"triples_per_sec_high":${jnum(triples / wh)},""" +
+            s""""efficiency":${jnum(eff)},"hw_cpu_efficiency":${jnum(hwEff)},""" +
+            s""""efficiency_vs_hw":${jnum(eff / hwEff)}}""", Some(eff))
+        case _ => ("null", None)
+      }
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // primary pair on the big fixture; if the host was too loaded to afford
+    // big 2-thread trials, the SMALL-fixture pair is the fallback evidence
+    val (pairBig, effBig) = pairJson("t2_p16", "t8_p16", 2, 8, "big")
+    val (pairSmall, effSmall) = pairJson("t2s_p16", "t8s_p16", 2, 8, "small")
+    val (pairPrimary, effPrimary) =
+      if (effBig.isDefined) (pairBig, effBig) else (pairSmall, effSmall)
+    val (pairWide, _) = pairJson("t8_p64", s"t${cpus}_p64", 8, cpus, "big")
+
+    val kg = (bestWall(s"t${cpus}_p64"), Option(fixtureCounts.get("big"))) match {
+      case (Some(w), Some((turns, triples))) =>
+        s"""{"turns":$turns,"triples":$triples,"wall_sec":${jnum(w)},""" +
+          s""""turns_per_sec":${jnum(turns / w)},"triples_per_sec":${jnum(triples / w)}}"""
+      case _ => "null"
+    }
+    val scaling =
+      s"""{"efficiency":${effPrimary.map(jnum).getOrElse("null")},""" +
+        s""""primary_pair":$pairPrimary,"wide_pair":$pairWide,""" +
+        s""""host_load1_end":${jnum(load1)},"trials":$trialsJson}"""
+    s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"skipped":$skipJson,"partial":${!complete},""" +
+      s""""sf":"$sfDirSeen","kg":$kg,"scaling":$scaling}"""
+  }
+
+  private def emit(): Unit =
+    if (emitted.compareAndSet(false, true)) { println(buildJson()); System.out.flush() }
+
+  private def load1: Double =
+    scala.util.Try(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble).getOrElse(-1.0)
 
   private def session(threads: Int, shufflePartitions: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -43,8 +146,27 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, turns, triples)
   }
 
+  /** Pure-CPU Spark job (fixed work, no shuffle): measures what the box
+    * itself scales to at the session's thread count. */
+  private def cpuProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    // 2M rows: big enough to separate host-vs-engine scaling, small enough
+    // that the probe itself doesn't eat the budget on a degraded host
+    spark.range(0, 2000000L, 1, spark.sparkContext.defaultParallelism * 4)
+      .select(sum(pmod(xxhash64(sha2(col("id").cast("string"), 256)), lit(1000000007L))).as("s"))
+      .head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1380").toDouble
+    val maxTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    def remaining: Double = budgetSec - (System.nanoTime() - t0) / 1e9
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sfDirSeen = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // fixture size scaled to the harness SF (sf0.1 -> ~180k convs ~2M turns)
     val nConvs: Long =
@@ -52,31 +174,40 @@ object Bench {
       else if (sfDir.contains("0.01")) 18000L
       else 2000L
 
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(), "bench-emit"))
+
     // ---- section 1: headline queries ----
     // Forcing: hash EVERY output column into a bounded sum — .count() lets
     // Catalyst prune unevaluated projections, so pure per-row selects would
     // time a row count, not their expressions. pmod bounds the sum (ANSI
     // long-overflow throws). A failed query records -1 and lands in
-    // "errors" instead of silently reporting a fast timing.
-    var spark = session(cpus, cpus)
-    val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // "errors"; a budget-skipped query records -2 and lands in "skipped"
+    // instead of silently reporting a fast timing.
+    val spark = session(cpus, cpus)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       import org.apache.spark.sql.functions._
-      val t0 = System.nanoTime()
-      val ok = try {
-        fn(spark, sfDir)
-          .select(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))).as("_force"))
-          .head()
-        true
-      } catch { case e: Throwable =>
-        System.err.println(s"bench query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-        errors += name
-        false
+      // reserve ~half the budget for the kg/scaling sections; individual
+      // headline queries are <=20s quiet, so this only trips on a
+      // pathologically loaded host
+      if (remaining < math.max(60.0, budgetSec * 0.45)) {
+        skipped.add(name); queryTimes.put(name, -2.0)
+      } else {
+        val q0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sfDir)
+            .select(sum(pmod(xxhash64(struct(col("*"))), lit(1000000007L))).as("_force"))
+            .head()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"bench query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          errors.add(name)
+          false
+        }
+        queryTimes.put(name, if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
-    // ---- section 2: KG throughput (big fixture, full parallelism) ----
+    // ---- section 2: KG throughput fixture (big, compute-bound) ----
     // Fixture sized so the run is compute-bound (fixed job-scheduling
     // latency must be a small fraction of wall or the numbers measure Spark
     // overhead, not the engine). 64 files = enough splits for 32 threads.
@@ -93,93 +224,91 @@ object Bench {
     // for N vs 4N EXECUTORS, which on a real cluster do not share a socket.
     // The 8-vs-32 pair plus hardware probes are reported for context.
     // Within a pair both levels use identical shuffle partitioning; the
-    // @cpus big run serves both as the headline throughput and the wide
-    // pair's high side.
-    // Two trials per level, best wall kept: this sandbox is a shared host
-    // with 2x run-to-run noise (load averages >10 with zero local
-    // processes); best-of filters transient contention. The adjacent
-    // pure-CPU probe measures what the box itself delivered at that thread
-    // count, so engine scaling is separable from host scaling.
-    // EVERY trial's wall + hw probe + host load goes into the JSON artifact
-    // (trialsJson below): the headline is best-of-N, but the full spread is
-    // machine-checkable — a narrated "best-of-3" with no artifact behind it
-    // was round 2's one unverifiable claim.
-    val allTrials = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double, Double)]]
-    def timed(threads: Int, parts: Int, fixture: String,
-              trials: Int = 2): (Double, Long, Long, Double) = {
-      val runs = (1 to trials).map { _ =>
-        val s = session(threads, parts)
-        val (wall, turns, triples) = kgRun(s, fixture)
+    // @cpus run serves both as the headline throughput and the wide pair's
+    // high side. EVERY trial's wall + hw probe + host load goes into the
+    // JSON artifact; the headline is best-of-recorded trials.
+    def runTrial(threads: Int, parts: Int, fixture: String = "big"): Double = {
+      val level = s"t$threads${if (fixture == "small") "s" else ""}_p$parts"
+      if (!levelOrder.contains(level)) levelOrder.add(level)
+      val s = session(threads, parts)
+      try {
+        val (wall, turns, triples) = kgRun(s, s"$fixtureDir/$fixture")
         val hw = cpuProbe(s)
-        s.stop()
-        (wall, turns, triples, hw, load1)
+        fixtureCounts.putIfAbsent(fixture, (turns, triples))
+        allTrials.merge(level, List((wall, hw, load1)),
+          (old, add) => add ::: old)
+        wall
+      } finally s.stop()
+    }
+
+    // Cost estimators (seconds) for "can the budget afford this trial?":
+    // seeded from the first full-thread wall, refined by each level's own
+    // best once measured. At 2 threads the fixed work runs on 1/16 the
+    // cores but the box scales sub-linearly, hence the conservative x6.
+    val estimate = scala.collection.mutable.Map.empty[String, Double]
+    def est(level: String, fallback: Double): Double =
+      estimate.getOrElse(level, fallback)
+    // 1.6x margin + slack: a started trial cannot be preempted, so an
+    // underestimate overshoots the budget by the whole trial (observed 5x
+    // on a load-15 host at 2 threads) — the margin is the exit-in-time
+    // insurance for the driver's external timeout
+    def affordable(level: String, fallback: Double): Boolean =
+      remaining > 1.6 * est(level, fallback) + 30.0
+    def tryTrial(threads: Int, parts: Int, fallbackEst: Double,
+                 fixture: String = "big"): Unit = {
+      val level = s"t$threads${if (fixture == "small") "s" else ""}_p$parts"
+      if (affordable(level, fallbackEst)) {
+        val wall = runTrial(threads, parts, fixture)
+        estimate(level) = math.min(estimate.getOrElse(level, wall), wall)
+      } else skipped.add(s"trial:$level")
+    }
+
+    // minimum viable set first: kg headline (full threads), then the
+    // primary scaling pair, then the wide pair's low side — one trial each
+    tryTrial(cpus, 64, fallbackEst = 120.0)
+    val fullWall = estimate.getOrElse(s"t${cpus}_p64", 120.0)
+    tryTrial(2, 16, fallbackEst = 6.0 * fullWall)
+    tryTrial(8, 16, fallbackEst = 2.5 * fullWall)
+    tryTrial(8, 64, fallbackEst = 2.5 * fullWall)
+
+    // scaling fallback: the efficiency criterion is the north rule, so if
+    // the host was too loaded to afford the big-fixture 2-thread trial,
+    // measure the SAME pair on a 1/8-size fixture instead of reporting
+    // nothing — the pair JSON is labeled with the fixture it ran on
+    val havePair = allTrials.containsKey("t2_p16") && allTrials.containsKey("t8_p16")
+    if (!havePair && remaining > 0.5 * fullWall + 20.0) {
+      val sw = session(cpus, 32)
+      TranscriptGen.transcripts(sw, nConvs * 6 / 8)
+        .repartition(16, org.apache.spark.sql.functions.col("conv_id"))
+        .write.mode("overwrite").parquet(s"$fixtureDir/small/transcripts")
+      sw.stop()
+      tryTrial(2, 16, fallbackEst = 1.5 * fullWall, fixture = "small")
+      tryTrial(8, 16, fallbackEst = 0.6 * fullWall, fixture = "small")
+    }
+
+    // leftover budget: extra trials round-robin (cheapest-information-first:
+    // the pair levels benefit most from best-of filtering on a noisy host)
+    val extraLevels =
+      Seq((cpus, 64, 120.0, "big"), (2, 16, 6.0 * fullWall, "big"),
+        (8, 16, 2.5 * fullWall, "big"), (8, 64, 2.5 * fullWall, "big"),
+        (2, 16, 1.5 * fullWall, "small"), (8, 16, 0.6 * fullWall, "small"))
+    var round = 2
+    var progressed = true
+    while (round <= maxTrials && progressed) {
+      progressed = false
+      extraLevels.foreach { case (t, p, fb, fx) =>
+        val level = s"t$t${if (fx == "small") "s" else ""}_p$p"
+        val have = Option(allTrials.get(level)).map(_.size).getOrElse(0)
+        // have >= 1: only levels whose minimum trial ran (not skipped)
+        if (have >= 1 && have < round && affordable(level, fb)) {
+          runTrial(t, p, fx)
+          progressed = true
+        }
       }
-      allTrials(s"t${threads}_p$parts") = runs.map(r => (r._1, r._4, r._5))
-      val best = runs.minBy(_._1)
-      (best._1, best._2, best._3, runs.map(_._4).min)
+      round += 1
     }
-    def trialsJson: String = allTrials.map { case (level, runs) =>
-      "\"" + level + "\":" + runs.map { case (w, hw, l) =>
-        s"""{"wall_sec":$w,"hw_probe_sec":$hw,"host_load1":$l}"""
-      }.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    def pairJson(lowT: Int, highT: Int, wallLow: Double, wallHigh: Double,
-                 hwLow: Double, hwHigh: Double, triples: Long): (String, Double) = {
-      val factor = highT.toDouble / lowT
-      val eff = (wallLow / wallHigh) / factor
-      val hwEff = (hwLow / hwHigh) / factor
-      (s"""{"threads_low":$lowT,"threads_high":$highT,""" +
-        s""""wall_low_sec":$wallLow,"wall_high_sec":$wallHigh,""" +
-        s""""triples_per_sec_low":${triples / wallLow},"triples_per_sec_high":${triples / wallHigh},""" +
-        s""""efficiency":$eff,"hw_cpu_efficiency":$hwEff,""" +
-        s""""efficiency_vs_hw":${eff / hwEff}}""", eff)
-    }
-    def load1: Double =
-      scala.util.Try(java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble).getOrElse(-1.0)
 
-    val loadStart = load1
-    // headline throughput: one pass over the big fixture at full threads;
-    // 64 shuffle partitions — the same partitioning the wide pair uses, so
-    // this run doubles as the wide pair's high side
-    val (wallFull, turnsFull, triplesFull, hwHigh) =
-      timed(cpus, 64, s"$fixtureDir/big", trials = 3)
-    // scaling pairs on the BIG fixture (the small one is job-overhead-bound:
-    // per-round/stage fixed latency swamps the compute and understates
-    // scaling); identical shuffle partitioning within each pair, best-of-3
-    val (wallB2, _, triplesB, hwB2) = timed(2, 16, s"$fixtureDir/big", trials = 3)
-    val (wallB8, _, _, hwB8) = timed(8, 16, s"$fixtureDir/big", trials = 3)
-    val (wallB8w, _, _, hwB8w) = timed(8, 64, s"$fixtureDir/big", trials = 2)
-    val (pairPrimary, effPrimary) =
-      pairJson(2, 8, wallB2, wallB8, hwB2, hwB8, triplesB)
-    val (pairWide, _) =
-      pairJson(8, cpus, wallB8w, wallFull, hwB8w, hwHigh, triplesB)
-    val loadEnd = load1
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val kg =
-      s"""{"turns":$turnsFull,"triples":$triplesFull,"wall_sec":$wallFull,""" +
-        s""""turns_per_sec":${turnsFull / wallFull},"triples_per_sec":${triplesFull / wallFull}}"""
-    val scaling =
-      s"""{"efficiency":$effPrimary,"primary_pair":$pairPrimary,""" +
-        s""""wide_pair":$pairWide,"hw_probe_high_sec":$hwHigh,""" +
-        s""""host_load1_start":$loadStart,"host_load1_end":$loadEnd,""" +
-        s""""trials":$trialsJson}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$errJson,"sf":"$sfDir","kg":$kg,"scaling":$scaling}""")
-  }
-
-  /** Pure-CPU Spark job (fixed work, no shuffle): measures what the box
-    * itself scales to at the session's thread count. */
-  private def cpuProbe(spark: SparkSession): Double = {
-    import org.apache.spark.sql.functions._
-    val t0 = System.nanoTime()
-    spark.range(0, 8000000L, 1, spark.sparkContext.defaultParallelism * 4)
-      .select(sum(pmod(xxhash64(sha2(col("id").cast("string"), 256)), lit(1000000007L))).as("s"))
-      .head()
-    (System.nanoTime() - t0) / 1e9
+    complete = true
+    emit()
   }
 }

@@ -23,6 +23,13 @@ object BenchKG {
     if (sys.env.contains("GRAFT_NO_INFER_GEN"))
       builder.config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // cluster-posture knobs via env -> spark.graft.* confs -> Config
+    // (e.g. GRAFT_CC_RELIABLE_EVERY=3 GRAFT_CC_DIR=target/ccbench measures
+    // the durable-CC checkpoint overhead at bench scale, CC-only)
+    sys.env.get("GRAFT_CC_RELIABLE_EVERY")
+      .foreach(v => builder.config("spark.graft.ccReliableEvery", v))
+    sys.env.get("GRAFT_CC_DIR")
+      .foreach(v => builder.config("spark.graft.ccRoundsDir", v))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "probe") {
@@ -45,9 +52,10 @@ object BenchKG {
       // exactly what Bench's scaling pair times: full pipeline count
       val tr = spark.read.parquet(s"$fixture/transcripts")
       tr.count()
+      val cfg = KGPipeline.Config.fromSession(spark)
       for (i <- 1 to trials) {
         val t0 = System.nanoTime()
-        val result = KGPipeline.run(spark, tr)
+        val result = KGPipeline.run(spark, tr, cfg)
         val t1 = System.nanoTime()
         val triples = result.canonicalTriples.count()
         val t2 = System.nanoTime()

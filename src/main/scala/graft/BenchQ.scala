@@ -79,8 +79,16 @@ object BenchQ {
               k.contains("Generate") || k.contains("Scan")
           }.map { case (k, v) => s"$k=$v" }.mkString(","))
         }
-        // listener events drain asynchronously; give the bus a moment
-        Thread.sleep(300)
+        // listener events drain asynchronously; poll until the counters
+        // stop moving (bounded at 2s) — a fixed sleep let late onTaskEnd
+        // events from heavy stages leak into the NEXT trial's attribution
+        var stableFor = 0; var lastSeen = (runMs.get, cpuMs.get, gcMs.get)
+        var waited = 0
+        while (stableFor < 2 && waited < 20) {
+          Thread.sleep(100); waited += 1
+          val now = (runMs.get, cpuMs.get, gcMs.get)
+          if (now == lastSeen) stableFor += 1 else { stableFor = 0; lastSeen = now }
+        }
         (wall, (runMs.get - r0) / 1e3, (cpuMs.get - c0) / 1e3, (gcMs.get - g0) / 1e3)
       }
       val ts = walls.map { case (w, r, c, g) =>

@@ -52,5 +52,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       VectorExpressions.EuclideanSignature(es(0), es(1), es(2), w)
     }))
+    // Composite Column helpers from the linking layer, registered through
+    // the public bridge so SQL users get the SAME construction the Scala
+    // API builds (shingling -> minhash -> band keys, SURVEY §2.9 M2-M4):
+    //   graft_shingles(text, n)           -> array<string>
+    //   minhash_sig(shingles, k)          -> array<bigint>
+    //   band_keys(sig, bands, rowsPerBand)-> array<bigint>
+    import org.apache.spark.sql.graftfns.Bridge
+    ext.injectFunction(fn("graft_shingles", 2, es =>
+      Bridge.expression(graft.link.MinHashBlocking.shingles(
+        Bridge.column(es(0)), foldInt(es(1), "graft_shingles n")))))
+    ext.injectFunction(fn("minhash_sig", 2, es =>
+      Bridge.expression(graft.link.MinHashBlocking.minhashSignature(
+        Bridge.column(es(0)), foldInt(es(1), "minhash_sig k")))))
+    ext.injectFunction(fn("band_keys", 3, es =>
+      Bridge.expression(graft.link.MinHashBlocking.bandKeys(
+        Bridge.column(es(0)), foldInt(es(1), "band_keys bands"),
+        foldInt(es(2), "band_keys rowsPerBand")))))
+  }
+
+  /** Fold a literal SQL argument to Int at build time (these parameters
+    * shape the expression TREE — k minhash columns, b band keys — so they
+    * must be plan-time constants, like euclidean_sig's width). */
+  private def foldInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be an integer literal")
+    e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
 }

@@ -25,7 +25,9 @@ object SparkEntry {
   /** Flagship: full KG-construction pipeline on synthetic transcripts. */
   def entry(spark: SparkSession): DataFrame = {
     val tr = TranscriptGen.transcripts(spark, nConvs = 300)
-    KGPipeline.run(spark, tr).tripleSet
+    // spark.graft.* session confs (e.g. checkpointDir, ccReliableEvery)
+    // flow into the pipeline — the spark-submit deployment surface
+    KGPipeline.run(spark, tr, KGPipeline.Config.fromSession(spark)).tripleSet
   }
 
   private def eventsTranscripts(s: SparkSession, dir: String): DataFrame =

@@ -77,7 +77,8 @@ object Similarity {
    */
   def euclideanPairs(df: DataFrame, idCol: String, vecCol: String,
                      maxDist: Double, planes: Int = -1, width: Double = 1.0,
-                     tables: Int = 8, maxBucket: Int = 10000): DataFrame = {
+                     tables: Int = 8, maxBucket: Int = 10000,
+                     pairBudget: Long = Long.MaxValue): DataFrame = {
     val p = if (planes >= 0) planes
             else graft.link.MinHashBlocking.numBits(df.count())
     val indexed0 = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
@@ -87,7 +88,7 @@ object Similarity {
             .euclidean_sig(col(vecCol), p, t, width).as("sig"))): _*)).as("_b"))
       .select(col("_id"), col("_v"), col("_b.t").as("_t"), col("_b.sig").as("_sig"))
     val indexed = graft.link.MinHashBlocking.capBuckets(
-      indexed0, Seq("_t", "_sig"), maxBucket)
+      indexed0, Seq("_t", "_sig"), maxBucket, pairBudget)
     val a = indexed.select(col("_t"), col("_sig"), col("_id").as("id_a"), col("_v").as("_v_a"))
     val b = indexed.select(col("_t"), col("_sig"), col("_id").as("id_b"), col("_v").as("_v_b"))
     a.join(b, Seq("_t", "_sig"))
@@ -143,21 +144,38 @@ object Similarity {
    * quantizer: cells are Voronoi regions of sampled points, so expected
    * occupancy is n/nLists regardless of the data distribution.
    *
-   * Spark shape at scale: centroids (~nLists rows) always broadcast; the
-   * argmin is `min(struct(dist, cell))` — a partial-aggregatable scalar
-   * reduction whose single shuffle carries each corpus vector ONCE (keyed
-   * by id), deterministic under ties (struct ordering breaks by cell).
+   * Spark shape at scale: the argmin is a pure PROJECTION — the centroid
+   * table (~nLists rows, the quantizer's own tiny output) is materialized
+   * once into a plan constant and every corpus vector computes its nearest
+   * cell in place via the native
+   * [[org.apache.spark.sql.graftfns.VectorExpressions.NearestCentroid]]
+   * expression. ZERO exchange on the corpus (PlanSpec-pinned): the earlier
+   * formulation (crossJoin with broadcast centroids + `groupBy(id).agg(
+   * min(struct(dist, cell)))`) kept the shuffle at one row per vector, but
+   * at 100 TB of embeddings that is still a full-corpus shuffle per index
+   * build. Tie-break and 9-dp distance rounding are identical to the old
+   * aggregation form (lowest cell wins).
    */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String): DataFrame = {
-    val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-    val cents = broadcast(centroids.select(col("cell"), col("cvec")))
-    c.crossJoin(cents)
-      .withColumn("_d", round(l2(col("_v"), col("cvec")), 9))
-      .groupBy("_id")
-      .agg(min(struct(col("_d"), col("cell"))).getField("cell").as("cell"),
-        first(col("_v")).as("_v"))
-      .select(col("_id").as(idCol), col("cell"), col("_v").as(vecCol))
+    // nLists rows — the quantizer output; a driver materialization of the
+    // same table the old plan broadcast, NOT a corpus collect
+    val rows = centroids.select(col("cell").cast("int"), col("cvec"))
+      .collect().sortBy(_.getInt(0))
+    val cellIds: Seq[Int] = rows.map(_.getInt(0)).toSeq
+    val cvecs: Seq[Seq[Double]] = rows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case other => throw new IllegalArgumentException(s"bad centroid element $other")
+    }.toSeq).toSeq
+    val idx = org.apache.spark.sql.graftfns.VectorExpressions
+      .nearest_centroid(col(vecCol), cvecs)
+    // centroid cells are 0..K-1 from ivfCentroids but any int ids work:
+    // the expression returns an index into the cell-sorted list
+    corpus.select(col(idCol), element_at(typedLit(cellIds), idx + 1).as("cell"),
+      col(vecCol))
   }
 
   /** Deterministic centroid table: `nLists` hash-sampled corpus rows
@@ -209,7 +227,7 @@ object Similarity {
    * nProbe/nLists. With `nProbe == nLists` the probe set is the whole
    * corpus (each row is in exactly one cell), so the result EQUALS
    * [[bruteForceTopK]] — the plumbing is exact; recall at partial probe is
-   * the quality knob (asserted >= 0.7 at nProbe/nLists = 1/4 in tests).
+   * the quality knob (asserted >= 0.7 at nProbe/nLists = 1/2 in tests).
    *
    * Scale: queries and their probe fan-out are broadcast (q * nProbe rows);
    * the corpus side arrives already partitioned by `cell` when `assigned`

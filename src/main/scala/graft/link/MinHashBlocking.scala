@@ -113,17 +113,35 @@ object MinHashBlocking {
    * by construction the spurious ones the verify step would discard anyway
    * (true near-dup CLUSTERS that big should be handled by exact dedup first).
    */
-  def capBuckets(df: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
-    val keep = df.groupBy(bucketCols.map(col): _*)
+  def capBuckets(df: DataFrame, bucketCols: Seq[String], maxBucket: Int,
+                 pairBudget: Long = Long.MaxValue): DataFrame = {
+    val counts = df.groupBy(bucketCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket)
-      .select(bucketCols.map(col): _*)
-    df.join(keep, bucketCols, "left_semi")
+    // `pairBudget` additionally bounds the JOIN OUTPUT, not just its input:
+    // a kept-but-hot bucket of n members still emits ~n^2/2 candidate pairs
+    // (5*10^7 at the default 10k cap). memberCap = sqrt(2*budget) rows kept
+    // per bucket — a deterministic hash-fraction sample within
+    // oversized-but-kept buckets — makes expected pairs-per-bucket <=
+    // pairBudget. Default Long.MaxValue = off (exact legacy semantics; the
+    // oracle queries pin those).
+    val memberCap = math.min(maxBucket.toLong,
+      math.max(2L, math.sqrt(2.0 * pairBudget.toDouble.min(9e18)).toLong))
+    if (memberCap >= maxBucket) {
+      df.join(counts.select(bucketCols.map(col): _*), bucketCols, "left_semi")
+    } else {
+      df.join(counts, bucketCols) // inner: drops >maxBucket buckets
+        .filter(col("_n") <= memberCap ||
+          pmod(xxhash64(struct(col("*"))), lit(1000000L)) <
+            lit(1000000L) * lit(memberCap) / col("_n"))
+        .drop("_n")
+    }
   }
 
   def candidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
                      threshold: Double, k: Int = 0, extraKey: Seq[String] = Nil,
-                     maxBucket: Int = 10000): DataFrame = {
+                     maxBucket: Int = 10000,
+                     pairBudget: Long = Long.MaxValue): DataFrame = {
     val rowsPerBand = 2
     val bands = if (k > 0) math.max(1, k / rowsPerBand)
                 else numBands(threshold, rowsPerBand)
@@ -137,7 +155,7 @@ object MinHashBlocking {
     // drop pathological buckets entirely ([[capBuckets]] — a band bucket
     // with >maxBucket members is a degenerate stop-shingle cluster; its
     // pairs are spurious and quadratic).
-    val capped = capBuckets(withBands, Seq("_band"), maxBucket)
+    val capped = capBuckets(withBands, Seq("_band"), maxBucket, pairBudget)
 
     val a = capped.select(col("_band"), col("_id").as("id_a"), col("_sh").as("_sh_a"),
       size(col("_sh")).as("_n_a"))

@@ -49,7 +49,36 @@ object KGPipeline {
         * through Parquet so an executor loss on a real cluster costs at most
         * N rounds, not the job ([[graft.link.ConnectedComponents.Reliable]]).
         * 0 = off (localCheckpoint only — the single-JVM fast path). */
-      ccReliableEvery: Int = 0)
+      ccReliableEvery: Int = 0,
+      /** Where the CC fixpoint's durable round checkpoints go; defaults to
+        * `checkpointDir` — set separately to turn on durable CC WITHOUT
+        * full-stage checkpointing (isolates the durability overhead). */
+      ccRoundsDir: Option[String] = None)
+
+  object Config {
+    /** Build a Config from `spark.graft.*` session confs — the
+      * spark-submit deployment surface for every pipeline knob, e.g.
+      *
+      *   spark-submit --conf spark.graft.checkpointDir=s3a://bucket/state \
+      *                --conf spark.graft.ccReliableEvery=3 ...
+      *
+      * Unset keys keep the code defaults. This is how a cluster operator
+      * turns on durable-CC checkpointing ([[Config.ccReliableEvery]])
+      * without a code change. */
+    def fromSession(spark: SparkSession): Config = {
+      def opt(k: String): Option[String] = spark.conf.getOption(s"spark.graft.$k")
+      Config(
+        jaccardThreshold = opt("jaccardThreshold").map(_.toDouble).getOrElse(0.6),
+        checkpointDir = opt("checkpointDir"),
+        shingleSize = opt("shingleSize").map(_.toInt).getOrElse(3),
+        maxBucket = opt("maxBucket").map(_.toInt).getOrElse(10000),
+        repartitionInput = opt("repartitionInput").map(_.toInt),
+        cacheIntermediate = opt("cacheIntermediate").forall(_.toBoolean),
+        cacheLarge = opt("cacheLarge").exists(_.toBoolean),
+        ccReliableEvery = opt("ccReliableEvery").map(_.toInt).getOrElse(0),
+        ccRoundsDir = opt("ccRoundsDir"))
+    }
+  }
 
   final case class Result(
       triplesRaw: DataFrame,
@@ -112,8 +141,9 @@ object KGPipeline {
     val entities = shared(stage("entities") {
       val ccReliable =
         if (cfg.ccReliableEvery > 0)
-          cfg.checkpointDir.map(d => graft.link.ConnectedComponents.Reliable(
-            s"$d/cc_rounds", cfg.ccReliableEvery))
+          cfg.ccRoundsDir.orElse(cfg.checkpointDir)
+            .map(d => graft.link.ConnectedComponents.Reliable(
+              s"$d/cc_rounds", cfg.ccReliableEvery))
         else None
       Canonicalize.entities(mentions.drop("shingles"), pairs, ccReliable)
     })

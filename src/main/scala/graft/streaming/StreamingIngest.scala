@@ -122,8 +122,13 @@ object StreamingIngest {
             }
             val next = ConvState(n, mx, u, last)
             state.update(next)
-            // evict once event time moves idleGapMinutes past the last turn
-            state.setTimeoutTimestamp(last + idleGapMinutes * 60L * 1000L)
+            // evict once event time moves idleGapMinutes past the last turn.
+            // A timeout below the current watermark throws and fails the
+            // whole query — possible when every event so far had a null ts
+            // (last == 0) — so clamp to watermark + gap in that case.
+            val gapMs = idleGapMinutes * 60L * 1000L
+            state.setTimeoutTimestamp(
+              math.max(last + gapMs, state.getCurrentWatermarkMs() + gapMs))
             ConvUpdate(convId, n, mx, u, finalized = false)
           }
       }.toDF()

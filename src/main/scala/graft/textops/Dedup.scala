@@ -98,7 +98,8 @@ object Dedup {
     * ~15k members — without the cap one degenerate bucket contributes
     * O(bucket^2) candidates per band. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 10000,
+                   pairBudget: Long = Long.MaxValue): DataFrame = {
     val sh = simhash(df, idCol, textCol)
     val banded = sh.select(col(idCol).as("_id"), col("simhash"),
         explode(array((0 until 4).map { b =>
@@ -106,7 +107,7 @@ object Dedup {
             shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
         }: _*)).as("bk"))
       .select(col("_id"), col("simhash"), col("bk.band"), col("bk.key"))
-    val capped = MinHashBlocking.capBuckets(banded, Seq("band", "key"), maxBucket)
+    val capped = MinHashBlocking.capBuckets(banded, Seq("band", "key"), maxBucket, pairBudget)
     val a = capped.select(col("band"), col("key"), col("_id").as("id_a"), col("simhash").as("sh_a"))
     val b = capped.select(col("band"), col("key"), col("_id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band", "key"))
@@ -177,14 +178,15 @@ object Dedup {
    */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double, bits: Int = -1, tables: Int = 8,
-                     maxBucket: Int = 10000): DataFrame = {
+                     maxBucket: Int = 10000,
+                     pairBudget: Long = Long.MaxValue): DataFrame = {
     val m = if (bits >= 0) bits else MinHashBlocking.numBits(df.count())
     val indexed0 = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           graft.ann.Similarity.hyperplaneSignature(col(vecCol), m, t).as("sig"))): _*)).as("_b"))
       .select(col("_id"), col("_v"), col("_b.t").as("_t"), col("_b.sig").as("_s0"))
-    val indexed = MinHashBlocking.capBuckets(indexed0, Seq("_t", "_s0"), maxBucket)
+    val indexed = MinHashBlocking.capBuckets(indexed0, Seq("_t", "_s0"), maxBucket, pairBudget)
     val a = indexed.select(col("_t"), col("_s0").as("_sig"),
       col("_id").as("id_a"), col("_v").as("_v_a"))
     // probe side: own bucket plus every 1-bit-flip bucket

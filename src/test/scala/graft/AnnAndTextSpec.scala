@@ -123,6 +123,25 @@ class AnnAndTextSpec extends SparkSpec {
     assert(cells.length > 4, "occupancy spreads across cells")
   }
 
+  test("ivf assignment: exchange-free argmin equals the join+agg formulation") {
+    // the native NearestCentroid projection must reproduce EXACTLY what the
+    // shuffling reference plan (crossJoin broadcast centroids -> groupBy(id)
+    // -> min(struct(round(dist,9), cell))) computed, ties and rounding
+    // included — same fixture, row-for-row
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = Similarity.ivfCentroids(e, "vec_id", "v", 16)
+    val fast = Similarity.ivfAssign(e, cents, "vec_id", "v")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val reference = e.select(col("vec_id").as("_id"), col("v").as("_v"))
+      .crossJoin(broadcast(cents.select(col("cell"), col("cvec"))))
+      .withColumn("_d", round(Similarity.l2(col("_v"), col("cvec")), 9))
+      .groupBy("_id")
+      .agg(min(struct(col("_d"), col("cell"))).getField("cell").as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(fast == reference, "projection argmin != join+agg argmin")
+  }
+
   test("hyperplane signature: deterministic and similarity-sensitive") {
     val s1 = emb.select(Similarity.hyperplaneSignature(col("embedding"), 16).as("s"))
       .as[Long].collect()

@@ -101,6 +101,51 @@ class CheckpointSpec extends SparkSpec {
     assert(Checkpoint.mergeIncrement(spark, dir, "m", inc, Seq("k", "v")).count() == 401)
   }
 
+  test("mergeIncrement: merge into an oversized bucket splits it, rewriting ONLY that bucket") {
+    val dir = tmpDir()
+    val root = new org.apache.hadoop.fs.Path(Checkpoint.stagePath(dir, "m"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def bucketDirs(version: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(root, version)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
+    // seed 2000 keys across 4 base buckets, no splitting (huge threshold)
+    val seed = (0 until 2000).map(i => (i.toLong, s"payload_$i")).toDF("k", "v")
+    Checkpoint.mergeIncrement(spark, dir, "m", seed, Seq("k", "v"),
+      numBuckets = 4, maxBucketBytes = Long.MaxValue)
+    assert(bucketDirs("v_00001").size == 4)
+
+    // single-key merge with a tiny threshold: the touched bucket (~500 rows)
+    // is over budget -> it must SPLIT into children at the doubled modulus,
+    // and v2 must contain ONLY that bucket's children
+    val inc = Seq((999999L, "new")).toDF("k", "v")
+    val merged = Checkpoint.mergeIncrement(spark, dir, "m", inc, Seq("k", "v"),
+      maxBucketBytes = 4096)
+    assert(merged.count() == 2001)
+    val v2 = bucketDirs("v_00002")
+    assert(v2.nonEmpty && v2.forall(!_.startsWith("_bucket=4x")),
+      s"touched bucket must be rewritten as children of a doubled modulus, got $v2")
+    val childModuli = v2.map(_.stripPrefix("_bucket=").takeWhile(_ != 'x').toInt)
+    assert(childModuli.forall(m => m >= 8 && m % 4 == 0), s"moduli double from base 4: $v2")
+    // the three untouched base buckets still live in (and are read from) v1
+    val paths = Checkpoint.committedBucketPaths(spark, dir, "m")
+    assert(paths.count(_.contains("v_00001")) == 3, s"untouched buckets stay: $paths")
+    assert(Checkpoint.readMerged(spark, dir, "m").count() == 2001)
+    // replay of the same increment is a no-op (routes through the split cover)
+    assert(Checkpoint.mergeIncrement(spark, dir, "m", inc, Seq("k", "v"),
+      maxBucketBytes = Long.MaxValue).count() == 2001)
+    // a later merge keyed into the split range lands in a CHILD bucket —
+    // the split parent never resurrects at the base modulus
+    Checkpoint.mergeIncrement(spark, dir, "m", Seq((1000003L, "z")).toDF("k", "v"),
+      Seq("k", "v"), maxBucketBytes = Long.MaxValue)
+    val after = Checkpoint.committedBucketPaths(spark, dir, "m")
+    assert(!after.exists(_.matches(".*_bucket=4x\\d+$")) ||
+      after.count(_.matches(".*_bucket=4x\\d+$")) <= 3,
+      s"split parent must not reappear: $after")
+    assert(Checkpoint.readMerged(spark, dir, "m").count() == 2002)
+  }
+
   test("kill-and-resume: pipeline restarted mid-way reuses completed stages") {
     val dir = tmpDir()
     val tr = TranscriptGen.transcripts(spark, 50)

@@ -136,6 +136,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 < 30000L), "clone-cluster pairs dropped by the cap")
   }
 
+  test("pairBudget bounds the candidate-pair OUTPUT of a kept hot bucket") {
+    // 2000 identical docs form one bucket per band that is UNDER the 10k
+    // member cap, so it is kept — and every candidate pair Hamming-verifies,
+    // so the candidate count IS the output count. Without a pair budget
+    // that is n*(n-1)/2 pairs; with pairBudget=5000 the bucket is
+    // hash-sampled to ~sqrt(2*5000)=100 members -> ~5k expected pairs per
+    // band bucket (4 bands, near-total overlap after pair-dedup for
+    // identical docs, independent samples -> <= ~20k expected total).
+    val clones = spark.range(2000)
+      .select(col("id"), lit("clone clone common text payload here").as("text"))
+    val full = Dedup.simhashPairs(clones, "id", "text", 3, maxBucket = 10000).count()
+    assert(full == 2000L * 1999 / 2, "default budget = exact legacy semantics")
+    val budgeted = Dedup.simhashPairs(clones, "id", "text", 3,
+      maxBucket = 10000, pairBudget = 5000L).count()
+    assert(budgeted > 0, "sampled bucket still emits pairs")
+    assert(budgeted <= 40000, s"pair output bounded by budget, got $budgeted")
+    assert(budgeted * 20 <= full, s"orders below unbudgeted: $budgeted vs $full")
+  }
+
   test("fingerprints: identical normalized docs share fp_content; shingle fp survives prefix edits") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

@@ -192,4 +192,21 @@ class KGPipelineSpec extends SparkSpec {
     assert(viaOrc.columns.toSeq == transcripts.columns.toSeq)
     assert(viaOrc.exceptAll(transcripts).isEmpty && transcripts.exceptAll(viaOrc).isEmpty)
   }
+
+  test("Config.fromSession: spark.graft.* confs reach the pipeline knobs") {
+    spark.conf.set("spark.graft.ccReliableEvery", "3")
+    spark.conf.set("spark.graft.ccRoundsDir", "/tmp/ccr")
+    spark.conf.set("spark.graft.jaccardThreshold", "0.7")
+    try {
+      val c = KGPipeline.Config.fromSession(spark)
+      assert(c.ccReliableEvery == 3 && c.ccRoundsDir.contains("/tmp/ccr"))
+      assert(c.jaccardThreshold == 0.7)
+      assert(c.maxBucket == 10000 && c.checkpointDir.isEmpty,
+        "unset keys keep code defaults")
+    } finally {
+      spark.conf.unset("spark.graft.ccReliableEvery")
+      spark.conf.unset("spark.graft.ccRoundsDir")
+      spark.conf.unset("spark.graft.jaccardThreshold")
+    }
+  }
 }

@@ -35,10 +35,45 @@ class PlanSpec extends SparkSpec {
 
   test("extraction plan stays inside whole-stage codegen (no UDFs)") {
     val tr = graft.fixtures.TranscriptGen.transcripts(spark, 10)
-    val p = plan(graft.extract.Extraction.triplesRaw(tr))
+    val df = graft.extract.Extraction.triplesRaw(tr)
+    val p = plan(df)
     // formatted mode marks codegen'd nodes with a leading '*'
     assert(p.linesIterator.exists(_.trim.startsWith("* Project")), "codegen projections")
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"))
+    // single-scan multi-rule extraction: ONE Generate added by extraction
+    // (the explode_outer trick), not one scan+explode per rule. The
+    // in-memory fixture generator contributes its own Generate, so count
+    // the DELTA over the input plan.
+    def nGens(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.sparkPlan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.size
+    assert(nGens(df) - nGens(tr) == 1,
+      s"extraction must add exactly 1 Generate (got ${nGens(df)} vs input ${nGens(tr)})")
+  }
+
+  test("canonical-triples join carries no broadcast hint (AQE decides at runtime)") {
+    // the mention->canonical dict is NOT guaranteed broadcast-safe at 10^12
+    // turns — a compile-time broadcast hint would OOM the driver there, so
+    // the plan must leave the strategy to AQE (Canonicalize.canonicalTriples)
+    val tr = graft.fixtures.TranscriptGen.transcripts(spark, 30)
+    val res = graft.pipeline.KGPipeline.run(spark, tr)
+    val hints = res.canonicalTriples.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"expected no join hints, got: $hints")
+  }
+
+  test("ivfAssign is a pure projection — no Exchange on the corpus") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = graft.ann.Similarity.ivfCentroids(emb, "vec_id", "v", 8)
+    val p = plan(graft.ann.Similarity.ivfAssign(emb, cents, "vec_id", "v"))
+    assert(!p.contains("Exchange"),
+      s"IVF assignment must not shuffle the corpus; got:\n${p.take(1200)}")
+    assert(p.contains("nearestcentroid") || p.contains("NearestCentroid"),
+      "expected the native argmin expression in the plan")
   }
 
   test("stableTurns plans as a per-group top-1 limit, not a full window sort") {
@@ -67,12 +102,14 @@ class PlanSpec extends SparkSpec {
     // first — restore it after, or every later suite inherits this one.
     import org.apache.spark.sql.SparkSession
     val base = spark // force lazy init before clearing
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    val s2 = SparkSession.builder()
-      .master("local[4]")
-      .withExtensions(new graft.GraftExtensions)
-      .getOrCreate()
+    // clear + rebuild INSIDE the try: if getOrCreate throws, the finally
+    // still restores the default session for every later suite in the JVM
     try {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
       val r = s2.sql(
         """SELECT cosine_fast(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
           |       l2_dist(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS d,
@@ -92,6 +129,26 @@ class PlanSpec extends SparkSpec {
         .collect()(0)
       assert(r.getLong(3) == viaColumn.getLong(0))
       assert(r.getLong(4) == viaColumn.getLong(1))
+      // composite linking helpers: SQL registration == Column construction
+      val sqlRow = s2.sql(
+        """SELECT minhash_sig(graft_shingles('hello world', 3), 8) AS ms,
+          |       band_keys(minhash_sig(graft_shingles('hello world', 3), 8), 4, 2) AS bk
+          |""".stripMargin).collect()(0)
+      import graft.link.MinHashBlocking
+      val colRow = s2.range(1).select(
+        MinHashBlocking.minhashSignature(MinHashBlocking.shingles(lit("hello world"), 3), 8).as("ms"),
+        MinHashBlocking.bandKeys(
+          MinHashBlocking.minhashSignature(MinHashBlocking.shingles(lit("hello world"), 3), 8),
+          4, 2).as("bk"))
+        .collect()(0)
+      assert(sqlRow.getSeq[Long](0) == colRow.getSeq[Long](0), "minhash_sig parity")
+      assert(sqlRow.getSeq[Long](1) == colRow.getSeq[Long](1), "band_keys parity")
+      // wrong-typed arguments fail at ANALYSIS time (checkInputDataTypes),
+      // not with a runtime ClassCastException mid-query
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT cosine_fast(array('a','b'), array('c','d'))").collect()
+      }
+      assert(err.getMessage.toLowerCase.contains("array"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

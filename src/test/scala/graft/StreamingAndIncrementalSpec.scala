@@ -88,6 +88,33 @@ class StreamingAndIncrementalSpec extends SparkSpec {
     assert(got == expected, "stateful accumulator equals batch groupBy")
   }
 
+  test("conversationStates survives groups whose events all have null ts") {
+    // regression (round-3 ADVICE): with last == 0 the eviction timeout could
+    // land below the current watermark, which makes Spark throw
+    // IllegalArgumentException and fail the whole query — the timeout is now
+    // clamped to max(last, watermark) + gap
+    val base = Files.createTempDirectory("graft_nullts").toString
+    val in = s"$base/in"
+    import org.apache.spark.sql.types._
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("cA", 0, "user", "hi", null, null),
+        org.apache.spark.sql.Row("cA", 1, "assistant", "yo", null, null),
+        org.apache.spark.sql.Row("cB", 0, "user", "hey", null,
+          java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))),
+      StreamingIngest.transcriptSchema)
+    rows.write.mode("overwrite").parquet(in)
+    val q = StreamingIngest.conversationStates(spark, in).writeStream
+      .format("memory").queryName("convstates_nullts")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination() // would rethrow the state-store IllegalArgumentException
+    val got = spark.table("convstates_nullts")
+      .groupBy("conv_id").agg(max(col("n_turns")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got("cA") == 2L && got("cB") == 1L)
+  }
+
   test("incremental ingest: overlapping increments merge idempotently and " +
     "finalize == single batch run") {
     val stateDir = Files.createTempDirectory("graft_inc").toString
