@@ -242,33 +242,43 @@ object Bench {
     }
 
     // Cost estimators (seconds) for "can the budget afford this trial?":
-    // seeded from the first full-thread wall, refined by each level's own
-    // best once measured. At 2 threads the fixed work runs on 1/16 the
-    // cores but the box scales sub-linearly, hence the conservative x6.
+    // seeded from the full-thread wall, refined by each level's own best
+    // once measured. BEST-of-trials, recomputed at every affordability
+    // check: a first trial that lands on a degraded host window (round-4
+    // dry run: t32 trial 1 = 297 s under a 26x-slow hw probe, trials 2-3 =
+    // 19-22 s) must not permanently poison the derived estimates. At 2
+    // threads the fixed work runs on 1/16 the cores but the box scales
+    // sub-linearly, hence the conservative x6 (tightened to x4 of the
+    // measured 8-thread wall once that level has run).
     val estimate = scala.collection.mutable.Map.empty[String, Double]
-    def est(level: String, fallback: Double): Double =
+    def fullWall: Double = estimate.getOrElse(s"t${cpus}_p64", 120.0)
+    def est(level: String, fallback: => Double): Double =
       estimate.getOrElse(level, fallback)
     // 1.6x margin + slack: a started trial cannot be preempted, so an
     // underestimate overshoots the budget by the whole trial (observed 5x
     // on a load-15 host at 2 threads) — the margin is the exit-in-time
     // insurance for the driver's external timeout
-    def affordable(level: String, fallback: Double): Boolean =
+    def affordable(level: String, fallback: => Double): Boolean =
       remaining > 1.6 * est(level, fallback) + 30.0
-    def tryTrial(threads: Int, parts: Int, fallbackEst: Double,
+    def tryTrial(threads: Int, parts: Int, fallbackEst: => Double,
                  fixture: String = "big"): Unit = {
       val level = s"t$threads${if (fixture == "small") "s" else ""}_p$parts"
       if (affordable(level, fallbackEst)) {
         val wall = runTrial(threads, parts, fixture)
         estimate(level) = math.min(estimate.getOrElse(level, wall), wall)
+        skipped.remove(s"trial:$level")
       } else skipped.add(s"trial:$level")
     }
+    // t2's estimate chains off t8's measured wall when available (measured
+    // ratio ~3.5x on this box) — much tighter than 6x the 32-thread wall
+    def est2: Double = estimate.get("t8_p16").map(4.0 * _).getOrElse(6.0 * fullWall)
 
     // minimum viable set first: kg headline (full threads), then the
-    // primary scaling pair, then the wide pair's low side — one trial each
+    // primary scaling pair CHEAP SIDE FIRST (t8 refines t2's estimate),
+    // then the wide pair's low side — one trial each
     tryTrial(cpus, 64, fallbackEst = 120.0)
-    val fullWall = estimate.getOrElse(s"t${cpus}_p64", 120.0)
-    tryTrial(2, 16, fallbackEst = 6.0 * fullWall)
     tryTrial(8, 16, fallbackEst = 2.5 * fullWall)
+    tryTrial(2, 16, fallbackEst = est2)
     tryTrial(8, 64, fallbackEst = 2.5 * fullWall)
 
     // scaling fallback: the efficiency criterion is the north rule, so if
@@ -287,11 +297,15 @@ object Bench {
     }
 
     // leftover budget: extra trials round-robin (cheapest-information-first:
-    // the pair levels benefit most from best-of filtering on a noisy host)
-    val extraLevels =
-      Seq((cpus, 64, 120.0, "big"), (2, 16, 6.0 * fullWall, "big"),
-        (8, 16, 2.5 * fullWall, "big"), (8, 64, 2.5 * fullWall, "big"),
-        (2, 16, 1.5 * fullWall, "small"), (8, 16, 0.6 * fullWall, "small"))
+    // the pair levels benefit most from best-of filtering on a noisy host).
+    // Fallback estimates are thunks over the CURRENT best walls, and a
+    // level the minimum set skipped gets its first trial here once better
+    // estimates make it affordable — a loaded early window no longer
+    // forfeits the big-fixture pair for the whole run.
+    val extraLevels: Seq[(Int, Int, () => Double, String)] =
+      Seq((cpus, 64, () => 120.0, "big"), (8, 16, () => 2.5 * fullWall, "big"),
+        (2, 16, () => est2, "big"), (8, 64, () => 2.5 * fullWall, "big"),
+        (2, 16, () => 1.5 * fullWall, "small"), (8, 16, () => 0.6 * fullWall, "small"))
     var round = 2
     var progressed = true
     while (round <= maxTrials && progressed) {
@@ -299,9 +313,11 @@ object Bench {
       extraLevels.foreach { case (t, p, fb, fx) =>
         val level = s"t$t${if (fx == "small") "s" else ""}_p$p"
         val have = Option(allTrials.get(level)).map(_.size).getOrElse(0)
-        // have >= 1: only levels whose minimum trial ran (not skipped)
-        if (have >= 1 && have < round && affordable(level, fb)) {
-          runTrial(t, p, fx)
+        // have == 0 only for big-fixture levels the minimum set skipped
+        // (small-fixture levels without a fixture write stay skipped)
+        val fixtureReady = fx == "big" || fixtureCounts.containsKey("small")
+        if (fixtureReady && have < round && affordable(level, fb())) {
+          tryTrial(t, p, fb(), fx)
           progressed = true
         }
       }
