@@ -146,6 +146,37 @@ class CheckpointSpec extends SparkSpec {
     assert(Checkpoint.readMerged(spark, dir, "m").count() == 2002)
   }
 
+  test("mergeIncrement: a still-oversized child splits again (chained extendible splits)") {
+    val dir = tmpDir()
+    val root = new org.apache.hadoop.fs.Path(Checkpoint.stagePath(dir, "m"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // concentrate the seed in the SAME base bucket the increment routes to,
+    // so the split chain is deterministic: compute each candidate's bucket
+    // with the merge's own routing hash (xxhash64 over the key cols, mod 4)
+    val inc = Seq((999999L, "new")).toDF("k", "v")
+    val target = inc.select(pmod(xxhash64(col("k"), col("v")), lit(4L))).head().getLong(0)
+    val seed = (0 until 40000).map(i => (i.toLong, s"payload_$i")).toDF("k", "v")
+      .filter(pmod(xxhash64(col("k"), col("v")), lit(4L)) === target)
+      .orderBy("k").limit(4000)
+    Checkpoint.mergeIncrement(spark, dir, "m", seed, Seq("k", "v"),
+      numBuckets = 4, maxBucketBytes = Long.MaxValue)
+    val seeded = Checkpoint.readMerged(spark, dir, "m").count()
+    val parentDir = new org.apache.hadoop.fs.Path(root, s"v_00001/_bucket=4x$target")
+    assert(fs.exists(parentDir), s"seed must land in bucket 4x$target")
+    val bytes = fs.getContentSummary(parentDir).getLength
+    // threshold S/3: parent (S) splits, each half (~S/2) still exceeds it,
+    // each quarter (~S/4) does not -> exactly two split levels, 4 -> 8 -> 16
+    Checkpoint.mergeIncrement(spark, dir, "m", inc, Seq("k", "v"),
+      maxBucketBytes = bytes / 3)
+    val paths = Checkpoint.committedBucketPaths(spark, dir, "m")
+    val moduli = paths.map(_.split("_bucket=").last.takeWhile(_ != 'x').toInt)
+    assert(moduli.max >= 16, s"expected a chained split past one doubling: $paths")
+    assert(Checkpoint.readMerged(spark, dir, "m").count() == seeded + 1)
+    // replay through the two-level split cover stays a no-op
+    assert(Checkpoint.mergeIncrement(spark, dir, "m", inc, Seq("k", "v"),
+      maxBucketBytes = Long.MaxValue).count() == seeded + 1)
+  }
+
   test("kill-and-resume: pipeline restarted mid-way reuses completed stages") {
     val dir = tmpDir()
     val tr = TranscriptGen.transcripts(spark, 50)
