@@ -29,10 +29,16 @@ import graft.pipeline.KGPipeline
  *    minimum viable set (1 trial at full threads for the kg headline, 1 at
  *    each primary-pair level for scaling) runs FIRST, extra trials only
  *    spend leftover budget.
- *  - The JSON line is printed from a JVM shutdown hook over mutable section
- *    state, so a SIGTERM from an external `timeout` still produces the
- *    artifact with every section that completed (sections record
- *    incrementally; "partial":true marks a truncated run).
+ *  - The JSON line is CHECKPOINTED throughout the run (after each 8-query
+ *    batch and after every trial, `"partial":true`, last-line-wins) and
+ *    printed a final time with `"partial":false` on completion, plus a JVM
+ *    shutdown hook as backstop. Checkpointing is what makes a kill
+ *    survivable DETERMINISTICALLY: a SIGTERM from an external `timeout`
+ *    races the parent sbt's output pump against the forked JVM's shutdown
+ *    hook (round-4 kill test lost the hook's line that way) — with
+ *    checkpoints the latest section-complete line is already in the
+ *    captured output before the kill lands. `tools/bench_kill_test.sh`
+ *    asserts this end-to-end.
  */
 object Bench {
 
@@ -119,6 +125,29 @@ object Bench {
   private def emit(): Unit =
     if (emitted.compareAndSet(false, true)) { println(buildJson()); System.out.flush() }
 
+  /** Checkpoint emission: print the CURRENT state line mid-run (marked
+    * `"partial":true`), last-line-wins for any parser that scans the output.
+    *
+    * Why (round-4 kill test, `tools/bench_kill_test.sh`): with only a
+    * shutdown-hook emit, `timeout -s TERM` on the sbt parent is a RACE —
+    * sbt's output pump can die before the forked JVM's hook output crosses
+    * the pipe (observed: the hook line was lost; round 3's driver tail shows
+    * the same race going the other way, child shutdown stderr captured).
+    * Checkpointing after each query batch and every trial means the latest
+    * section-complete line is already in the captured output BEFORE any
+    * kill, deterministically. A successful run still ends with the one
+    * `"partial":false` line printed last. Each line also lands in
+    * `target/bench_last.json` for local forensics. */
+  private def checkpoint(): Unit = {
+    val line = buildJson()
+    println(line); System.out.flush()
+    try {
+      val p = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case _: Throwable => () }
+  }
+
   private def load1: Double =
     scala.util.Try(java.nio.file.Files.readString(
       java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble).getOrElse(-1.0)
@@ -184,6 +213,7 @@ object Bench {
     // "errors"; a budget-skipped query records -2 and lands in "skipped"
     // instead of silently reporting a fast timing.
     val spark = session(cpus, cpus)
+    var sinceCheckpoint = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       import org.apache.spark.sql.functions._
       // reserve ~half the budget for the kg/scaling sections; individual
@@ -204,8 +234,12 @@ object Bench {
           false
         }
         queryTimes.put(name, if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
+        sinceCheckpoint += 1
+        // a kill mid-section loses at most 8 queries of recorded data
+        if (sinceCheckpoint >= 8) { checkpoint(); sinceCheckpoint = 0 }
       }
     }
+    checkpoint()
 
     // ---- section 2: KG throughput fixture (big, compute-bound) ----
     // Fixture sized so the run is compute-bound (fixed job-scheduling
@@ -237,6 +271,7 @@ object Bench {
         fixtureCounts.putIfAbsent(fixture, (turns, triples))
         allTrials.merge(level, List((wall, hw, load1)),
           (old, add) => add ::: old)
+        checkpoint()
         wall
       } finally s.stop()
     }

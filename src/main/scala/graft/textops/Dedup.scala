@@ -63,26 +63,40 @@ object Dedup {
    * explode + one groupBy with 64 conditional sums (partial-agg friendly),
    * bits reassembled with shiftleft/bitwise-or.
    *
-   * The token hash is PORTABLE: bit j = bit (3 - j%4) of hex digit j/4 of
-   * md5(token). md5 + substring + integer shifts exist verbatim in DuckDB,
-   * so an independent SQL oracle can re-derive the signatures (the mm3
-   * portability trick); xxhash64 — the obvious faster choice — exists only
-   * in Spark, which would leave this whole family uncheckable end-to-end.
-   * The md5 runs once per token; the 16 hex-digit values are projected once
-   * and each feeds four bit-sums.
+   * The token hash is PORTABLE by default: bit j = bit (3 - j%4) of hex
+   * digit j/4 of md5(token). md5 + substring + integer shifts exist verbatim
+   * in DuckDB, so an independent SQL oracle can re-derive the signatures
+   * (the mm3 portability trick). `portableHash = false` switches the token
+   * hash to a single `xxhash64` (bit i of the 64-bit hash directly) — the
+   * production path at scale: one codegen'd long hash per token instead of
+   * md5 + 16 hex-digit conversions, same banding/verify machinery, but
+   * Spark-only (an independent SQL oracle can no longer re-derive it, which
+   * is why it is not the default). Signatures differ between the two hashes;
+   * the CONTRACT (identical texts collide at Hamming 0, near-identical at
+   * small Hamming) is hash-independent and tested for both.
    */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              portableHash: Boolean = true): DataFrame = {
     val tokens = df.select(col(idCol), explode(split(col(textCol), " ")).as("_tok"))
-      .withColumn("_m", md5(col("_tok")))
-    val withDigits = tokens.select(
-      col(idCol) +: (0 until 16).map { k =>
-        conv(substring(col("_m"), k + 1, 1), 16, 10).cast("int").as(s"_d$k")
-      }: _*)
+    // (projected token-hash table, bit i of the hash as a 0/1 int column)
+    val (hashed, bit) =
+      if (portableHash) {
+        val withDigits = tokens.withColumn("_m", md5(col("_tok"))).select(
+          col(idCol) +: (0 until 16).map { k =>
+            conv(substring(col("_m"), k + 1, 1), 16, 10).cast("int").as(s"_d$k")
+          }: _*)
+        (withDigits,
+          (i: Int) => shiftright(col(s"_d${i / 4}"), 3 - (i % 4)).bitwiseAND(lit(1)))
+      } else {
+        val withHash = tokens.select(col(idCol), xxhash64(col("_tok")).as("_h"))
+        // arithmetic shift on a negative long is fine: the AND keeps one bit
+        (withHash,
+          (i: Int) => shiftright(col("_h"), i).bitwiseAND(lit(1L)).cast("int"))
+      }
     val bitSums = (0 until 64).map { i =>
-      val bit = shiftright(col(s"_d${i / 4}"), 3 - (i % 4)).bitwiseAND(lit(1))
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"_b$i")
+      sum(when(bit(i) === 1, 1).otherwise(-1)).as(s"_b$i")
     }
-    val agged = withDigits.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val agged = hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map { i =>
       when(col(s"_b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -99,8 +113,9 @@ object Dedup {
     * O(bucket^2) candidates per band. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 10000,
-                   pairBudget: Long = Long.MaxValue): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+                   pairBudget: Long = Long.MaxValue,
+                   portableHash: Boolean = true): DataFrame = {
+    val sh = simhash(df, idCol, textCol, portableHash)
     val banded = sh.select(col(idCol).as("_id"), col("simhash"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
@@ -123,11 +138,21 @@ object Dedup {
    * all-pairs within small groups — use ONLY behind blocking; the public
    * near-dup path is [[minhashPairs]]). Kept for verification/audit of the
    * LSH path on bounded buckets.
+   *
+   * `maxBlock`/`pairBudget` (default off, preserving exact audit semantics)
+   * route the block key through [[graft.link.MinHashBlocking.capBuckets]] —
+   * the same degenerate-block guard every LSH family has — for callers who
+   * point this at blocks whose size they don't control.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, threshold: Double, n: Int = 3): DataFrame = {
-    val withSh = df.select(col(blockCol).as("_blk"), col(idCol),
+                        blockCol: String, threshold: Double, n: Int = 3,
+                        maxBlock: Int = Int.MaxValue,
+                        pairBudget: Long = Long.MaxValue): DataFrame = {
+    val withSh0 = df.select(col(blockCol).as("_blk"), col(idCol),
       wordShingles(col(textCol), n).as("_sh"))
+    val withSh =
+      if (maxBlock == Int.MaxValue && pairBudget == Long.MaxValue) withSh0
+      else MinHashBlocking.capBuckets(withSh0, Seq("_blk"), maxBlock, pairBudget)
     val a = withSh.select(col("_blk"), col(idCol).as("id_a"), col("_sh").as("_sh_a"),
       size(col("_sh")).as("_n_a"))
     val b = withSh.select(col("_blk"), col(idCol).as("id_b"), col("_sh").as("_sh_b"),

@@ -49,6 +49,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size < 200, "no quadratic pair explosion")
   }
 
+  test("simhash fast (xxhash64) path: same contract as the portable hash") {
+    // identical texts must collide at Hamming 0 under EITHER token hash
+    val fast = Dedup.simhash(docs, "doc_id", "text", portableHash = false)
+    val dupSigs = fast.join(docs, "doc_id")
+      .groupBy(trim(lower(col("text"))).as("_t"))
+      .agg(countDistinct(col("simhash")).as("nsig"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    assert(dupSigs.filter(col("nsig") =!= 1).count() == 0,
+      "identical texts must share one fast-simhash signature")
+    // and the fast pairs path recovers the >=0.95-jaccard planted dups about
+    // as well as the portable path (hash choice must not change the notion)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3, portableHash = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = Dedup.ngramJaccardPairs(docs.withColumn("_one", lit(1)),
+        "doc_id", "text", "_one", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = planted.intersect(pairs).size.toDouble / math.max(planted.size, 1)
+    info(s"fast simhash pairs=${pairs.size} planted=${planted.size} recall=$recall")
+    assert(recall >= 0.7, s"recall $recall")
+    assert(pairs.size < 200, "no quadratic pair explosion")
+  }
+
   test("embedding near-dup pairs: FP-free on the real fixture") {
     val pairs = Dedup.embeddingPairs(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
@@ -134,6 +156,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length < 100, s"bounded output, got ${pairs.length}")
     assert(pairs.contains((100000L, 100001L)), "planted pair still found")
     assert(!pairs.exists(p => p._1 < 30000L), "clone-cluster pairs dropped by the cap")
+  }
+
+  test("ngramJaccardPairs: maxBlock caps a degenerate block, default stays exact") {
+    val clones = spark.range(5000)
+      .select(lit("blk").as("b"), col("id"),
+        lit("clone clone common text payload here").as("text"))
+    val planted = Seq(("other", 100000L, "a distinct doc about spark engines"),
+      ("other", 100001L, "a distinct doc about spark engines"))
+      .toDF("b", "id", "text")
+    val df = clones.unionByName(planted)
+    val capped = Dedup.ngramJaccardPairs(df, "id", "text", "b", 0.8, maxBlock = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(capped.contains((100000L, 100001L)), "small block unaffected by the cap")
+    assert(!capped.exists(_._1 < 5000L), "oversized block dropped by the cap")
+    // default = exact audit semantics: the clone block yields all its pairs
+    val exact = Dedup.ngramJaccardPairs(df.filter(col("id") < 100), "id", "text", "b", 0.8).count()
+    assert(exact == 100L * 99 / 2)
   }
 
   test("pairBudget bounds the candidate-pair OUTPUT of a kept hot bucket") {
