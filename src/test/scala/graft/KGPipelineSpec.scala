@@ -148,6 +148,35 @@ class KGPipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("missing contract columns"))
   }
 
+  test("IcebergTranscripts: catalog conf, scan options, honest availability") {
+    import graft.sources.IcebergTranscripts
+    val conf = IcebergTranscripts.catalogConf("lake", "s3://bucket/wh", "hive")
+    assert(conf("spark.sql.catalog.lake") == "org.apache.iceberg.spark.SparkCatalog")
+    assert(conf("spark.sql.catalog.lake.type") == "hive")
+    assert(conf("spark.sql.catalog.lake.warehouse") == "s3://bucket/wh")
+    assert(conf.contains("spark.sql.extensions"))
+    // scan option plumbing: time travel, incremental, and their exclusions
+    assert(IcebergTranscripts.readOptions() == Map.empty)
+    assert(IcebergTranscripts.readOptions(snapshotId = Some(42L)) ==
+      Map("snapshot-id" -> "42"))
+    assert(IcebergTranscripts.readOptions(
+      startSnapshotId = Some(10L), endSnapshotId = Some(20L)) ==
+      Map("start-snapshot-id" -> "10", "end-snapshot-id" -> "20"))
+    intercept[IllegalArgumentException](
+      IcebergTranscripts.readOptions(snapshotId = Some(1L), asOfTimestampMs = Some(2L)))
+    intercept[IllegalArgumentException](
+      IcebergTranscripts.readOptions(endSnapshotId = Some(2L)))
+    intercept[IllegalArgumentException](
+      IcebergTranscripts.readOptions(snapshotId = Some(1L), startSnapshotId = Some(2L)))
+    // this sandbox has no Iceberg runtime: available must say so, and the
+    // runtime paths must fail fast with the deploy hint, not a late
+    // catalog-resolution error
+    assert(!IcebergTranscripts.available, "sandbox has no iceberg-spark-runtime")
+    val err = intercept[IllegalArgumentException](
+      IcebergTranscripts.read(spark, "lake.db.transcripts"))
+    assert(err.getMessage.contains("iceberg-spark-runtime"))
+  }
+
   test("driver contract: SparkEntry.entry returns a non-empty triple set") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSeq == Seq("subj", "pred", "obj"))
