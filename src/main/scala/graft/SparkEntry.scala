@@ -385,6 +385,20 @@ object SparkEntry {
     "tx4_fingerprints" -> ((s, dir) =>
       graft.textops.TextAnalysis.fingerprints(tbl(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- training-data pipeline: deterministic sampling ----
+    // hash sampling = the 100 TB sampling method: the keep set is a pure
+    // function of (seed, id) — stable under repartitioning/retries/engines
+    // (df.sample() is none of those) — and the md5-hex decision key makes
+    // the EXACT set independently derivable by the DuckDB oracle.
+
+    "sm1_hash_sample" -> ((s, dir) => graft.textops.Sampling
+      .hashSample(tbl(s, dir, "documents"), "doc_id", 0.25, seed = "s1")
+      .select(col("doc_id"), col("lang"), col("source"))),
+
+    "sm2_stratified_sample" -> ((s, dir) => graft.textops.Sampling
+      .stratifiedSample(tbl(s, dir, "documents"), Seq("lang", "source"), "doc_id", 3, seed = "s2")
+      .select(col("doc_id"), col("lang"), col("source"))),
+
     // ---- training-data pipeline: multimodal plumbing (decode STUBBED) ----
 
     "mm1_assets" -> ((s, dir) => graft.multimodal.Multimodal
@@ -809,6 +823,16 @@ object SparkEntry {
         |SELECT doc_id, md5(norm) AS fp_content,
         |  list_min([md5(array_to_string(ws[i:i+4], ' ')) for i in range(1, greatest(len(ws)-3, 2))]) AS fp_min_shingle
         |FROM w""".stripMargin,
+
+    "sm1_hash_sample" ->
+      ("""SELECT doc_id, lang, source FROM documents
+        |WHERE md5(concat('s1', ':', CAST(doc_id AS VARCHAR))) < '40000000""".stripMargin
+        + "0" * 24 + "'"),
+
+    "sm2_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang, source
+        |  ORDER BY md5(concat('s2', ':', CAST(doc_id AS VARCHAR)))) <= 3""".stripMargin,
 
     "mm1_assets" ->
       """SELECT doc_id AS asset_id,

@@ -1,0 +1,69 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data pipelines. At 100 TB, sampling
+ * must be a PROPERTY OF THE DATA, not of the execution: `df.sample()` draws
+ * from per-partition RNG streams, so the chosen set changes with partition
+ * count, task retries, and engine version — useless for lineage ("which
+ * docs trained this model?") and for cross-engine audits. Hash sampling
+ * fixes the set: a row's fate is a pure function of (seed, id).
+ *
+ * Portability: the decision hash is the md5 HEX STRING of `seed:id`
+ * compared lexicographically — the same construction dd3/mm3 use — so an
+ * independent DuckDB oracle derives the exact keep set (sm1/sm2 queries).
+ * md5-vs-xxhash64 cost is irrelevant here: one hash per row on a filter
+ * (not per token), dwarfed by the scan.
+ */
+object Sampling {
+
+  /** Decision key: md5 hex of `seed:id` — uniform over the 16^32 hex space,
+    * reproducible anywhere md5 exists. */
+  private def decisionKey(idCol: Column, seed: String): Column =
+    md5(concat_ws(":", lit(seed), idCol.cast("string")))
+
+  /**
+   * Seeded uniform sample keeping ~`fraction` of rows. A pure FILTER —
+   * no shuffle, no RNG state, pushes down to the scan like any predicate —
+   * and stable under repartitioning/retries. Threshold granularity is the
+   * first 8 hex digits (2^-32; bias < 1 row per 4 billion).
+   */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 seed: String = "graft"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    if (fraction >= 1.0) df
+    else {
+      // e.g. 0.25 -> "40000000" + 24 zeros: hex strings below it are
+      // exactly the bottom quarter of the space (lexicographic == numeric
+      // for fixed-width lowercase hex)
+      val thr = f"${(fraction * 4294967296.0).toLong}%08x" + "0" * 24
+      df.filter(decisionKey(col(idCol), seed) < lit(thr))
+    }
+  }
+
+  /**
+   * Exactly `k` rows per stratum (fewer iff the stratum is smaller),
+   * chosen by deterministic hashed order — a seeded shuffle-then-take-k
+   * that every engine reproduces. One exchange, on the strata key
+   * (`row_number` window; Spark plans the rank filter as WindowGroupLimit,
+   * so partial top-k runs map-side before the shuffle).
+   *
+   * 100 TB posture: when strata are huge and `k` small, pre-thin with
+   * [[hashSample]] at a safety factor (e.g. 10k/|stratum|) BEFORE the
+   * window so the exchange carries candidates, not the corpus — the two
+   * compose exactly (both order by the same decision key) as long as the
+   * prefilter keeps ≥ k rows per stratum.
+   */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
+                       k: Int, seed: String = "graft"): DataFrame = {
+    require(k > 0 && strataCols.nonEmpty)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(decisionKey(col(idCol), seed))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+}

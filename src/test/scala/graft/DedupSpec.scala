@@ -194,6 +194,44 @@ class DedupSpec extends SparkSpec {
     assert(budgeted * 20 <= full, s"orders below unbudgeted: $budgeted vs $full")
   }
 
+  test("hashSample: deterministic, repartition-invariant, ~fraction accurate, seed-sensitive") {
+    import graft.textops.Sampling
+    val a = Sampling.hashSample(docs, "doc_id", 0.25, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(7), "doc_id", 0.25, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "keep set is a property of the data, not the partitioning")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.25) < 0.08, s"fraction off: ${a.size / n}")
+    val other = Sampling.hashSample(docs, "doc_id", 0.25, "s2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a != other, "different seeds draw different sets")
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == n.toLong)
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0)
+  }
+
+  test("stratifiedSample: exactly k per stratum (capped by stratum size), deterministic") {
+    import graft.textops.Sampling
+    val got = Sampling.stratifiedSample(docs, Seq("lang", "source"), "doc_id", 3, "s2")
+    val perStratum = got.groupBy("lang", "source").count()
+      .as[(String, String, Long)].collect()
+    val sizes = docs.groupBy("lang", "source").count()
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    perStratum.foreach { case (l, s, c) =>
+      assert(c == math.min(3L, sizes((l, s))), s"stratum ($l,$s): $c")
+    }
+    assert(perStratum.length == sizes.size, "every stratum represented")
+    val again = Sampling.stratifiedSample(docs, Seq("lang", "source"), "doc_id", 3, "s2")
+    assert(got.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+    // hashSample prefilter composes: same decision key, same order, so
+    // thinning first must preserve the chosen rows where >= k survive
+    val thinThenPick = Sampling.stratifiedSample(
+      Sampling.hashSample(docs, "doc_id", 1.0, "s2"), Seq("lang", "source"), "doc_id", 3, "s2")
+    assert(thinThenPick.select("doc_id").as[Long].collect().toSet ==
+      got.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("fingerprints: identical normalized docs share fp_content; shingle fp survives prefix edits") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
