@@ -7,7 +7,38 @@ import org.apache.spark.sql.functions._
   * this box? Variants share one JVM; sessions are recreated per thread
   * count (new SparkContext each time). */
 object ProbeLab {
+
+  /** `runMain graft.ProbeLab simhash`: cost of the portable (md5 hex-digit)
+    * vs production (`portableHash=false`, single xxhash64) simhash token
+    * hash on a synthetic 1M x ~26-token corpus — quantifies what the md5
+    * oracle-portability trick costs the hot path (the dd3 query must keep
+    * md5 so DuckDB can re-derive it; a production dedup run should not). */
+  private def simhashCost(): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("probe-simhash")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = spark.range(0, 1000000L, 1, 32)
+      .select(org.apache.spark.sql.functions.col("id"),
+        concat(lit(words), lit(" doc "), col("id").cast("string")).as("text"))
+      .cache()
+    docs.count()
+    for ((name, portable) <- Seq("portable_md5" -> true, "fast_xxhash64" -> false);
+         trial <- 1 to 3) {
+      val t0 = System.nanoTime()
+      graft.textops.Dedup.simhash(docs, "id", "text", portableHash = portable)
+        .select(sum(pmod(col("simhash"), lit(1000000007L)))).head()
+      println(f"[lab] simhash $name%-14s trial=$trial wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("simhash")) { simhashCost(); return }
     val rows = 4000000L
     for (threads <- Seq(1, 4, 8)) {
       val spark = SparkSession.builder().master(s"local[$threads]")
