@@ -177,6 +177,43 @@ class KGPipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("iceberg-spark-runtime"))
   }
 
+  test("Neo4jBulkExport: bulk-import layout round-trips, IDs referentially intact") {
+    import graft.graph.Neo4jBulkExport
+    val dir = java.nio.file.Files.createTempDirectory("graft_neo4j").toString
+    // plant a node form with CSV-hostile characters (quote + comma) to pin
+    // the RFC 4180 dialect neo4j-admin expects
+    val hostil = "Acme, \"The\" Corp"
+    val nodes = result.nodes.limit(50)
+      .withColumn("canonical_form",
+        when(col("canonical_id") === result.nodes.limit(1).select("canonical_id").as[Long].head(),
+          lit(hostil)).otherwise(col("canonical_form")))
+    Neo4jBulkExport.write(nodes, result.edges, dir)
+    // header files: one line, bulk-import property/ID tokens
+    val nh = spark.read.text(s"$dir/nodes_header.csv").as[String].head()
+    assert(nh.startsWith("canonical_id:ID,:LABEL,"), nh)
+    val rh = spark.read.text(s"$dir/relationships_header.csv").as[String].head()
+    assert(rh.startsWith(":START_ID,:END_ID,:TYPE,"), rh)
+    // round-trip: counts survive, hostile value survives quoting exactly
+    val nBack = Neo4jBulkExport.readGroup(spark, dir, "nodes")
+    assert(nBack.count() == nodes.count())
+    assert(nBack.filter(col("canonical_form") === hostil).count() == 1,
+      "quote/comma value must survive the CSV dialect")
+    val eBack = Neo4jBulkExport.readGroup(spark, dir, "relationships")
+    assert(eBack.count() == result.edges.count())
+    // relationship endpoints reference exported node IDs (full graph export)
+    val allNodes = java.nio.file.Files.createTempDirectory("graft_neo4j_full").toString
+    Neo4jBulkExport.write(result.nodes, result.edges, allNodes)
+    val ids = Neo4jBulkExport.readGroup(spark, allNodes, "nodes")
+      .select(col("`canonical_id:ID`")).as[String].collect().toSet
+    val endpoints = Neo4jBulkExport.readGroup(spark, allNodes, "relationships")
+      .select(col("`:START_ID`"), col("`:END_ID`")).as[(String, String)].collect()
+    assert(endpoints.forall { case (s, d) => ids(s) && ids(d) },
+      "every relationship endpoint must be an exported node")
+    // :TYPE tokens are Neo4j-legal (upper, underscores)
+    val types = eBack.select(col("`:TYPE`")).as[String].collect().toSet
+    assert(types.nonEmpty && types.forall(_.matches("[A-Z0-9_]+")), types.take(5).toString)
+  }
+
   test("driver contract: SparkEntry.entry returns a non-empty triple set") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSeq == Seq("subj", "pred", "obj"))
