@@ -76,6 +76,17 @@ class PlanSpec extends SparkSpec {
       "expected the native argmin expression in the plan")
   }
 
+  test("hashSample is a pure filter (no Exchange); stratifiedSample plans as WindowGroupLimit") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pFilter = plan(graft.textops.Sampling.hashSample(docs, "doc_id", 0.25, "s1"))
+    assert(!pFilter.contains("Exchange"),
+      s"hash sampling must not shuffle — it is a predicate; got:\n${pFilter.take(800)}")
+    val pStrat = plan(graft.textops.Sampling.stratifiedSample(
+      docs, Seq("lang", "source"), "doc_id", 3, "s2"))
+    assert(pStrat.contains("WindowGroupLimit"),
+      s"expected map-side partial top-k (WindowGroupLimit); got:\n${pStrat.take(800)}")
+  }
+
   test("stableTurns plans as a per-group top-1 limit, not a full window sort") {
     val tr = graft.fixtures.TranscriptGen.transcripts(spark, 10)
     val p = plan(graft.ingest.Transcripts.stableTurns(tr))
