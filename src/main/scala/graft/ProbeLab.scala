@@ -37,8 +37,51 @@ object ProbeLab {
     spark.stop()
   }
 
+  /** `runMain graft.ProbeLab veccodegen`: the five native vector expressions
+    * on a synthetic 1M x 64-dim corpus, generated-code path (CODEGEN_ONLY)
+    * vs per-row interpreted eval (NO_CODEGEN — what the round-4
+    * CodegenFallback posture paid on every row). Quantifies VERDICT r4
+    * "What's wrong #1". */
+  private def vecCodegenCost(): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("probe-veccodegen")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.graftfns.VectorExpressions._
+    val dims = 64
+    val vecs = spark.range(0, 1000000L, 1, 32)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          j => pmod(xxhash64(col("id"), j), lit(2001L)).cast("double") / 1000.0 - 1.0)
+          .as("v"))
+      .cache()
+    vecs.count()
+    val cents: Seq[Seq[Double]] =
+      (0 until 16).map(c => (0 until dims).map(j => ((c * 31 + j * 7) % 17 - 8) / 8.0))
+    val work: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "cosine" -> vecs.select(sum(cosine_fast(col("v"), reverse(col("v")))).as("s")),
+      "l2" -> vecs.select(sum(l2_dist(col("v"), reverse(col("v")))).as("s")),
+      "hyperplane_sig" -> vecs.select(
+        sum(pmod(hyperplane_sig(col("v"), 16, 0), lit(1000000007L))).as("s")),
+      "euclidean_sig" -> vecs.select(
+        sum(pmod(euclidean_sig(col("v"), 4, 0, 1.0), lit(1000000007L))).as("s")),
+      "nearest_centroid" -> vecs.select(
+        sum(nearest_centroid(col("v"), cents)).as("s")))
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY"); (name, df) <- work; trial <- 1 to 3) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      spark.conf.set("spark.sql.codegen.wholeStage", (mode == "CODEGEN_ONLY").toString)
+      val t0 = System.nanoTime()
+      df.head()
+      println(f"[lab] vec $mode%-12s $name%-17s trial=$trial wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("simhash")) { simhashCost(); return }
+    if (args.headOption.contains("veccodegen")) { vecCodegenCost(); return }
     val rows = 4000000L
     for (threads <- Seq(1, 4, 8)) {
       val spark = SparkSession.builder().master(s"local[$threads]")

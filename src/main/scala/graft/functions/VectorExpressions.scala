@@ -5,7 +5,7 @@ package org.apache.spark.sql.graftfns
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -15,9 +15,16 @@ import org.apache.spark.sql.types._
  * The composable alternative (`zip_with` + `aggregate` higher-order
  * functions) allocates a lambda frame per element and never enters
  * whole-stage codegen — fine for one-off queries, dominant cost in ANN
- * scans. These expressions evaluate as one tight JVM loop per row
- * (`CodegenFallback` still costs a single virtual call per row, ~100x
- * cheaper than per-element HOF interpretation).
+ * scans. These expressions evaluate as one tight JVM loop per row AND
+ * participate in whole-stage codegen: `doGenCode` emits a static call into
+ * the loop helpers below (the [[TextExpressions.NormalizeText]] pattern),
+ * so an ANN scan projection stays fused — no per-row virtual `eval` call,
+ * no boxed `ArrayData` handoff (the round-4 `CodegenFallback` posture paid
+ * both on every row).
+ *
+ * Interpreted eval and generated code call the SAME static helpers, so the
+ * two paths cannot diverge; VectorCodegenSpec additionally runs both with
+ * `spark.sql.codegen.factoryMode` pinned each way and compares.
  *
  * The reference has no custom expressions (SURVEY.md §2.11 — its UDF
  * surface is two Scala udfs we replaced with built-ins); these are the one
@@ -28,7 +35,7 @@ object VectorExpressions {
 
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
-  /** Element types [[toDouble]] can read — the accepted vector payloads. */
+  /** Element types the loop helpers can read — the accepted vector payloads. */
   private def numericElem(dt: DataType): Boolean = dt match {
     case FloatType | DoubleType | IntegerType | LongType => true
     case _ => false
@@ -55,81 +62,167 @@ object VectorExpressions {
   private[graftfns] def firstFailure(checks: TypeCheckResult*): TypeCheckResult =
     checks.find(_.isFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
 
-  private def toDouble(a: ArrayData, i: Int, et: DataType): Double = et match {
-    case FloatType => a.getFloat(i).toDouble
-    case DoubleType => a.getDouble(i)
-    case IntegerType => a.getInt(i).toDouble
-    case LongType => a.getLong(i).toDouble
-    case _ => throw new IllegalArgumentException(s"unsupported element type $et")
+  // ---- static loop helpers (shared by interpreted eval AND generated code;
+  //      Scala object methods compile to static forwarders, so generated
+  //      Java calls them as VectorExpressions.cosine(...)) ----
+
+  /** Element-type dispatch tag, resolved ONCE at plan/codegen time so the
+    * per-element read is a tableswitch, not a DataType match per value. */
+  def tagOf(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case ArrayType(LongType, _) => 3
+    case other => throw new IllegalArgumentException(s"unsupported vector type $other")
   }
 
-  private def elemType(dt: DataType): DataType = dt match {
-    case ArrayType(et, _) => et
-    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  def elemAt(a: ArrayData, i: Int, tag: Int): Double = tag match {
+    case 0 => a.getFloat(i).toDouble
+    case 1 => a.getDouble(i)
+    case 2 => a.getInt(i).toDouble
+    case _ => a.getLong(i).toDouble
   }
+
+  /** One-pass cosine over equal-length arrays; 0.0 for zero-norm inputs. */
+  def cosine(a: ArrayData, b: ArrayData, at: Int, bt: Int): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = elemAt(a, i, at); val y = elemAt(b, i, bt)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** One-pass Euclidean distance over equal-length arrays. */
+  def l2(a: ArrayData, b: ArrayData, at: Int, bt: Int): Double = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = elemAt(a, i, at) - elemAt(b, i, bt)
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Deterministic pseudo-random plane component in [-1, 1] from
+    * xxhash64(seed=(t,p,j)) — identical across runs and executors, no
+    * driver-side fit (SURVEY.md §7 determinism requirement). */
+  def planeComponent(t: Int, p: Int, j: Int): Double = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong((t.toLong << 40) ^ (p.toLong << 20) ^ j.toLong, 42L)
+    ((java.lang.Math.floorMod(h, 2001L)).toDouble - 1000.0) / 1000.0
+  }
+
+  /** m-bit hyperplane signature for LSH table `t`: bit p = sign of
+    * dot(vec, plane_{t,p}). */
+  def hyperplaneSig(a: ArrayData, at: Int, bits: Int, t: Int): Long = {
+    val n = a.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0; var j = 0
+      while (j < n) { dot += elemAt(a, j, at) * planeComponent(t, p, j); j += 1 }
+      if (dot >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Bucketed-random-projection signature for Euclidean LSH table `t`:
+    * per projection p, bucket_p = floor((dot(vec, plane) + offset) / width);
+    * buckets FNV-mixed into one long. Seed-space-shifted (+4096/+8192) so
+    * Euclidean tables are independent of the hyperplane (cosine) tables. */
+  def euclideanSig(a: ArrayData, at: Int, planes: Int, t: Int, width: Double): Long = {
+    val n = a.numElements()
+    var sig = 1125899906842597L * (t + 1)
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0; var j = 0
+      while (j < n) { dot += elemAt(a, j, at) * planeComponent(t + 4096, p, j); j += 1 }
+      val offset = (planeComponent(t + 8192, p, 0) + 1.0) / 2.0 * width
+      val bucket = math.floor((dot + offset) / width).toLong
+      sig = (sig ^ bucket) * 0x100000001b3L
+      p += 1
+    }
+    sig
+  }
+
+  private def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Index of the nearest centroid (Euclidean, 9-dp-rounded distances,
+    * lowest index wins ties, length-mismatched centroids skipped); -1 when
+    * no centroid matches the vector's length. */
+  def nearestCentroid(a: ArrayData, at: Int, cents: Array[Array[Double]]): Int = {
+    val n = a.numElements()
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      if (cv.length == n) {
+        var s = 0.0; var i = 0
+        while (i < n) { val d = elemAt(a, i, at) - cv(i); s += d * d; i += 1 }
+        val dist = round9(math.sqrt(s))
+        if (dist < bestD) { bestD = dist; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
+  // fully-qualified name the generated Java uses for the static calls above
+  private val Helper = "org.apache.spark.sql.graftfns.VectorExpressions"
 
   /** cosine(a, b) over two numeric arrays, one pass, null if either side is
     * null OR the lengths differ; 0.0 for zero-norm inputs (same contract as
     * the HOF version, where zip_with pads the shorter side with nulls and
     * the whole aggregate collapses to null). */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       firstFailure(checkVector(prettyName, left), checkVector(prettyName, right))
+    @transient private lazy val at = tagOf(left.dataType)
+    @transient private lazy val bt = tagOf(right.dataType)
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-      val at = elemType(left.dataType); val bt = elemType(right.dataType)
-      if (a.numElements() != b.numElements()) return null
-      val n = a.numElements()
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < n) {
-        val x = toDouble(a, i, at); val y = toDouble(b, i, bt)
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (a.numElements() != b.numElements()) null else cosine(a, b, at, bt)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $Helper.cosine($a, $b, $at, $bt);
+        |}""".stripMargin)
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
   }
 
-  /** m-bit hyperplane signature for LSH table `t`: bit p = sign of
-    * dot(vec, plane_{t,p}); plane components are deterministic pseudo-random
-    * values in [-1, 1] derived from xxhash64(seed=(t,p,j)). One pass over
-    * bits x dims instead of m interpreted `aggregate` chains. */
+  /** m-bit hyperplane signature for LSH table `t` (see [[hyperplaneSig]]).
+    * One pass over bits x dims instead of m interpreted `aggregate` chains. */
   case class HyperplaneSignature(left: Expression, right: Expression, tables: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
     // left = vector, right = bits (int literal), tables = table id (int literal)
     override def first: Expression = left
     override def second: Expression = right
     override def third: Expression = tables
     override def dataType: DataType = LongType
-    override def nullable: Boolean = left.nullable
+    override def nullable: Boolean = left.nullable || right.nullable || tables.nullable
     override def checkInputDataTypes(): TypeCheckResult =
       firstFailure(checkVector(prettyName, left),
         checkInt(prettyName, "bits", right), checkInt(prettyName, "table", tables))
-    private def plane(t: Int, p: Int, j: Int): Double = {
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashLong((t.toLong << 40) ^ (p.toLong << 20) ^ j.toLong, 42L)
-      ((java.lang.Math.floorMod(h, 2001L)).toDouble - 1000.0) / 1000.0
-    }
-    override def nullSafeEval(v: Any, bitsAny: Any, tAny: Any): Any = {
-      val a = v.asInstanceOf[ArrayData]
-      val bits = bitsAny.asInstanceOf[Int]
-      val t = tAny.asInstanceOf[Int]
-      val at = elemType(left.dataType)
-      val n = a.numElements()
-      var sig = 0L
-      var p = 0
-      while (p < bits) {
-        var dot = 0.0; var j = 0
-        while (j < n) { dot += toDouble(a, j, at) * plane(t, p, j); j += 1 }
-        if (dot >= 0.0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    }
+    @transient private lazy val at = tagOf(left.dataType)
+    override def nullSafeEval(v: Any, bitsAny: Any, tAny: Any): Any =
+      hyperplaneSig(v.asInstanceOf[ArrayData], at,
+        bitsAny.asInstanceOf[Int], tAny.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, bits, t) =>
+        s"${ev.value} = $Helper.hyperplaneSig($a, $at, $bits, $t);")
     override protected def withNewChildrenInternal(f: Expression, s: Expression, th: Expression) =
       copy(left = f, right = s, tables = th)
   }
@@ -137,70 +230,53 @@ object VectorExpressions {
   /** Euclidean distance of two equal-length numeric arrays: one pass,
     * null if either side is null or the lengths differ. */
   case class L2Distance(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       firstFailure(checkVector(prettyName, left), checkVector(prettyName, right))
+    @transient private lazy val at = tagOf(left.dataType)
+    @transient private lazy val bt = tagOf(right.dataType)
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-      val at = elemType(left.dataType); val bt = elemType(right.dataType)
-      if (a.numElements() != b.numElements()) return null
-      val n = a.numElements()
-      var s = 0.0; var i = 0
-      while (i < n) {
-        val d = toDouble(a, i, at) - toDouble(b, i, bt)
-        s += d * d; i += 1
-      }
-      math.sqrt(s)
+      if (a.numElements() != b.numElements()) null else l2(a, b, at, bt)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $Helper.l2($a, $b, $at, $bt);
+        |}""".stripMargin)
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
   }
 
   /** Bucketed-random-projection signature for Euclidean LSH table `t`
     * (the reference's BucketedRandomProjectionLSH analog, cs562_sdpg
-    * `LSH.scala:10-18`): per projection p, bucket_p = floor((dot(vec,
-    * plane_{t,p}) + offset_{t,p}) / width); the per-projection buckets are
-    * FNV-mixed into one long signature (AND-construction within a table;
-    * OR across tables as usual). Planes/offsets are deterministic
-    * pseudo-random, seed-space-shifted so Euclidean tables are independent
-    * of the hyperplane (cosine) tables. */
+    * `LSH.scala:10-18`; see [[euclideanSig]] for the construction —
+    * AND-construction within a table, OR across tables as usual). */
   case class EuclideanSignature(left: Expression, right: Expression,
                                 tables: Expression, width: Double)
-      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    require(java.lang.Double.isFinite(width) && width > 0.0,
+      s"euclidean_sig width must be finite positive, got $width")
     // left = vector, right = planes (int literal), tables = table id (int literal)
     override def first: Expression = left
     override def second: Expression = right
     override def third: Expression = tables
     override def dataType: DataType = LongType
-    override def nullable: Boolean = left.nullable
+    override def nullable: Boolean = left.nullable || right.nullable || tables.nullable
     override def checkInputDataTypes(): TypeCheckResult =
       firstFailure(checkVector(prettyName, left),
         checkInt(prettyName, "planes", right), checkInt(prettyName, "table", tables))
-    private def plane(t: Int, p: Int, j: Int): Double = {
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashLong((t.toLong << 40) ^ (p.toLong << 20) ^ j.toLong, 42L)
-      ((java.lang.Math.floorMod(h, 2001L)).toDouble - 1000.0) / 1000.0
-    }
-    override def nullSafeEval(v: Any, planesAny: Any, tAny: Any): Any = {
-      val a = v.asInstanceOf[ArrayData]
-      val planes = planesAny.asInstanceOf[Int]
-      val t = tAny.asInstanceOf[Int]
-      val at = elemType(left.dataType)
-      val n = a.numElements()
-      var sig = 1125899906842597L * (t + 1)
-      var p = 0
-      while (p < planes) {
-        var dot = 0.0; var j = 0
-        while (j < n) { dot += toDouble(a, j, at) * plane(t + 4096, p, j); j += 1 }
-        val offset = (plane(t + 8192, p, 0) + 1.0) / 2.0 * width
-        val bucket = math.floor((dot + offset) / width).toLong
-        sig = (sig ^ bucket) * 0x100000001b3L
-        p += 1
-      }
-      sig
-    }
+    @transient private lazy val at = tagOf(left.dataType)
+    override def nullSafeEval(v: Any, planesAny: Any, tAny: Any): Any =
+      euclideanSig(v.asInstanceOf[ArrayData], at,
+        planesAny.asInstanceOf[Int], tAny.asInstanceOf[Int], width)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, planes, t) =>
+        s"${ev.value} = $Helper.euclideanSig($a, $at, $planes, $t, ${width}D);")
     override protected def withNewChildrenInternal(f: Expression, s: Expression, th: Expression) =
       copy(left = f, right = s, tables = th)
   }
@@ -220,37 +296,28 @@ object VectorExpressions {
     * length differs from the vector are skipped (the join form's null
     * distance); null if no centroid matches. Centroids are held as
     * `Seq[Seq[Double]]` so the case-class equality Catalyst uses for plan
-    * canonicalization stays structural.
+    * canonicalization stays structural; codegen embeds the materialized
+    * `double[][]` as a plan reference object (`ctx.addReferenceObj`).
     */
   case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
-      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       checkVector(prettyName, child)
     @transient private lazy val cents: Array[Array[Double]] =
       centroids.iterator.map(_.toArray).toArray
-    private def round9(x: Double): Double =
-      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
-        .doubleValue()
+    @transient private lazy val at = tagOf(child.dataType)
     override def nullSafeEval(v: Any): Any = {
-      val a = v.asInstanceOf[ArrayData]
-      val at = elemType(child.dataType)
-      val n = a.numElements()
-      var best = -1
-      var bestD = Double.PositiveInfinity
-      var c = 0
-      while (c < cents.length) {
-        val cv = cents(c)
-        if (cv.length == n) {
-          var s = 0.0; var i = 0
-          while (i < n) { val d = toDouble(a, i, at) - cv(i); s += d * d; i += 1 }
-          val dist = round9(math.sqrt(s))
-          if (dist < bestD) { bestD = dist; best = c }
-        }
-        c += 1
-      }
+      val best = nearestCentroid(v.asInstanceOf[ArrayData], at, cents)
       if (best < 0) null else best
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("centroids", cents, "double[][]")
+      val idx = ctx.freshName("nc")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |int $idx = $Helper.nearestCentroid($c, $at, $centsRef);
+        |if ($idx < 0) { ${ev.isNull} = true; } else { ${ev.value} = $idx; }""".stripMargin)
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
