@@ -54,6 +54,10 @@ object Bench {
   // fixture label ("big" | "small") -> (turns, triples)
   private val fixtureCounts =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  // tracks the small-fixture parquet WRITE itself (not whether a small
+  // trial has run): extra-trial rounds may use an existing fixture even
+  // when both initial small trials were unaffordable
+  @volatile private var smallFixtureWritten: Boolean = false
   @volatile private var complete: Boolean = false
   private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -327,6 +331,7 @@ object Bench {
         .repartition(16, org.apache.spark.sql.functions.col("conv_id"))
         .write.mode("overwrite").parquet(s"$fixtureDir/small/transcripts")
       sw.stop()
+      smallFixtureWritten = true
       tryTrial(2, 16, fallbackEst = 1.5 * fullWall, fixture = "small")
       tryTrial(8, 16, fallbackEst = 0.6 * fullWall, fixture = "small")
     }
@@ -350,7 +355,7 @@ object Bench {
         val have = Option(allTrials.get(level)).map(_.size).getOrElse(0)
         // have == 0 only for big-fixture levels the minimum set skipped
         // (small-fixture levels without a fixture write stay skipped)
-        val fixtureReady = fx == "big" || fixtureCounts.containsKey("small")
+        val fixtureReady = fx == "big" || smallFixtureWritten
         if (fixtureReady && have < round && affordable(level, fb())) {
           tryTrial(t, p, fb(), fx)
           progressed = true

@@ -59,9 +59,18 @@ object BenchKG {
         val t1 = System.nanoTime()
         val triples = result.canonicalTriples.count()
         val t2 = System.nanoTime()
+        // peak executor memory (local mode: executor == this JVM) — max of
+        // per-pool peak heap usage since last reset, the endurance-run metric
+        import scala.jdk.CollectionConverters._
+        val peakHeap = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+          .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+          .map(_.getPeakUsage.getUsed).sum
         println(f"[pipeline] threads=$threads parts=$parts trial=$i " +
           f"wall=${(t2 - t0) / 1e9}%.2f s triples=$triples " +
-          f"(construct+cc=${(t1 - t0) / 1e9}%.2f canonical=${(t2 - t1) / 1e9}%.2f)")
+          f"(construct+cc=${(t1 - t0) / 1e9}%.2f canonical=${(t2 - t1) / 1e9}%.2f) " +
+          f"peakHeapGiB=${peakHeap / 1073741824.0}%.2f")
+        java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+          .asScala.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
         // each trial must pay the full pipeline: Spark's CacheManager matches
         // identical plans across trials and would serve trial 2+ from cache
         spark.catalog.clearCache()

@@ -69,6 +69,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Bridge.expression(graft.link.MinHashBlocking.bandKeys(
         Bridge.column(es(0)), foldInt(es(1), "band_keys bands"),
         foldInt(es(2), "band_keys rowsPerBand")))))
+    // nearest_centroid(vec, array(array(..), ..)) -> int cell id; the
+    // centroid table shapes the expression (a plan constant, like
+    // euclidean_sig's width), so it must be a foldable array literal
+    ext.injectFunction(fn("nearest_centroid", 2, es =>
+      VectorExpressions.NearestCentroid(es(0), foldCentroids(es(1)))))
+    //   hash_sample(id, fraction, seed) -> boolean keep-decision; a pure
+    //   pushdown-able predicate (same construction the Scala API builds)
+    ext.injectFunction(fn("hash_sample", 3, es =>
+      Bridge.expression(graft.textops.Sampling.hashSamplePredicate(
+        Bridge.column(es(0)), foldDouble(es(1), "hash_sample fraction"),
+        foldString(es(2), "hash_sample seed")))))
+  }
+
+  /** Fold a literal array<array<numeric>> SQL argument into the centroid
+    * rows a [[VectorExpressions.NearestCentroid]] plan embeds. */
+  private def foldCentroids(e: Expression): Seq[Seq[Double]] = {
+    require(e.foldable, "nearest_centroid centroids must be an array literal")
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val elem = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(et, _), _) => et
+      case other => throw new IllegalArgumentException(
+        s"nearest_centroid centroids must be array<array<numeric>>, got $other")
+    }
+    val outer = e.eval().asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map { c =>
+      val inner = outer.getArray(c)
+      (0 until inner.numElements()).map { j =>
+        inner.get(j, elem) match {
+          case n: java.lang.Number => n.doubleValue()
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"nearest_centroid centroid element must be numeric, got $other")
+        }
+      }
+    }
+  }
+
+  private def foldDouble(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a numeric literal")
+    e.eval() match {
+      case n: java.lang.Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
+  }
+
+  private def foldString(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a string literal")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
   }
 
   /** Fold a literal SQL argument to Int at build time (these parameters

@@ -127,9 +127,12 @@ object Similarity {
    *
    * Recall math: with per-bit agreement p = 1 - theta/pi, a candidate is
    * found per table w.p. p^m + m*p^(m-1)*(1-p); across T tables
-   * 1-(1-that)^T. Defaults (m=6, T=8) give ~0.9 recall even for weakly
-   * correlated neighbors (p~0.6). At 10^9+ scale raise `bits` so expected
-   * bucket size stays bounded (bits ~ log2(N / targetBucket)).
+   * 1-(1-that)^T. T=8 with small-corpus m (~6) gives ~0.9 recall even for
+   * weakly correlated neighbors (p~0.6). `bits = -1` (default) derives m
+   * from a corpus count (m ~ log2(N / targetBucket), same family convention
+   * as [[euclideanPairs]]/`embeddingPairs`) so expected bucket occupancy
+   * stays flat as the corpus grows; raise `tables` alongside at 10^9+ rows
+   * to hold recall.
    */
   /**
    * IVF (inverted-file) coarse quantizer: assign every corpus vector to its
@@ -266,23 +269,31 @@ object Similarity {
   }
 
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 6, tables: Int = 8): DataFrame = {
+              vecCol: String, k: Int, bits: Int = -1, tables: Int = 8): DataFrame = {
+    // bits = -1 (default) -> corpus-scaled like embeddingPairs/euclideanPairs:
+    // expected bucket occupancy stays ~targetBucket regardless of corpus size
+    // (a fixed width at 10^9 rows would leave 64 buckets/table with ~10^7
+    // members each and the probe join quadratic within bucket). The count()
+    // is one columnar-batch-count job over the corpus scan; callers that
+    // already know n should pass MinHashBlocking.numBits(n) explicitly.
+    val m = if (bits > 0) bits
+            else graft.link.MinHashBlocking.numBits(corpus.count())
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          hyperplaneSignature(col(vecCol), bits, t).as("sig"))): _*)).as("_b"))
+          hyperplaneSignature(col(vecCol), m, t).as("sig"))): _*)).as("_b"))
       .select(col("neighbor_id"), col("_cv"),
         col("_b.t").as("_t"), col("_b.sig").as("_sig"))
     val qSig = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("_qv"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          hyperplaneSignature(col(vecCol), bits, t).as("sig"))): _*)).as("_b"))
+          hyperplaneSignature(col(vecCol), m, t).as("sig"))): _*)).as("_b"))
       .select(col("query_id"), col("_qv"),
         col("_b.t").as("_t"), col("_b.sig").as("_s0"))
     val probes = qSig.withColumn("_sig",
-      explode(array(col("_s0") +: (0 until bits).map(bp =>
+      explode(array(col("_s0") +: (0 until m).map(bp =>
         col("_s0").bitwiseXOR(shiftleft(lit(1L), bp))): _*)))
       .select("query_id", "_qv", "_t", "_sig")
     val scored = broadcast(probes).join(c, Seq("_t", "_sig"))

@@ -219,7 +219,7 @@ object Checkpoint {
 
   /** Extendible-hash routing: the bucket key ("MxB") a row with these key
     * columns belongs to under the manifest's base modulus + split set. */
-  private def bucketKeyExpr(keyCols: Seq[String], base: Int,
+  private[graft] def bucketKeyExpr(keyCols: Seq[String], base: Int,
                             splits: Set[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, concat, lit, pmod, when, xxhash64}
     val h = xxhash64(keyCols.map(col): _*)

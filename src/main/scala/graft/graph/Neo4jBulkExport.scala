@@ -56,7 +56,11 @@ object Neo4jBulkExport {
     df.write.mode("overwrite")
       .option("header", "false")
       .option("escape", "\"")   // RFC 4180 doubled quotes, neo4j-admin's dialect
-      .option("emptyValue", "") // keep empty string distinct from null ("")
+      // empty string and null BOTH serialize as a bare empty field —
+      // intentional conflation matching neo4j-admin's "empty field = no
+      // value" import semantics (it skips empty fields by default); the
+      // round-trip reader accordingly reads both back as null
+      .option("emptyValue", "")
       .csv(s"$dir/$group")
     val spark = df.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -65,15 +69,50 @@ object Neo4jBulkExport {
         case false => new java.io.File(dir).toURI
       }, spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/${group}_header.csv"), true)
-    try out.write((df.columns.mkString(",") + "\n").getBytes("UTF-8"))
+    // header fields are CSV-quoted too: a property column named `a,b` or
+    // `a"b` must not desync the column count at import or round-trip
+    try out.write((df.columns.map(csvField).mkString(",") + "\n").getBytes("UTF-8"))
     finally out.close()
   }
 
+  /** RFC 4180 field encoding (quote when the value contains , " or a
+    * newline; double embedded quotes). */
+  private[graph] def csvField(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** RFC 4180 parse of one header line into column names. */
+  private[graph] def parseCsvLine(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQ = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.toString; cur.setLength(0)
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
   /** Read an exported group back (header file + headerless parts) — the
-    * round-trip used by tests and by downstream Spark consumers. */
+    * round-trip used by tests and by downstream Spark consumers. The header
+    * line is parsed as CSV (not split on raw commas), so hostile column
+    * names (comma/quote) round-trip. */
   def readGroup(spark: SparkSession, dir: String, group: String): DataFrame = {
-    val header = spark.read.text(s"$dir/${group}_header.csv")
-      .head().getString(0).split(",")
+    val header = parseCsvLine(
+      spark.read.text(s"$dir/${group}_header.csv").head().getString(0))
     spark.read
       .option("header", "false")
       .option("escape", "\"")

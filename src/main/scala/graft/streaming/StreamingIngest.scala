@@ -45,6 +45,34 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /**
+   * Streaming → versioned-bucket-state unification: a `foreachBatch` sink
+   * driving [[graft.pipeline.Incremental.ingest]] (and through it
+   * [[graft.checkpoint.Checkpoint.mergeIncrement]]) per micro-batch, so a
+   * STREAMING ingest accumulates the exact same `inc_triples` state —
+   * layout, manifest, extendible buckets — as the batch incremental loop.
+   * A pipeline can therefore switch freely between batch catch-up and
+   * streaming tail-follow over one state directory, and
+   * [[graft.pipeline.Incremental.finalizeGraph]] runs over either.
+   *
+   * Exactly-once by composition: the file source replays unprocessed files
+   * on restart (`checkpointLocation`) and `mergeIncrement` is idempotent by
+   * value-dedup, so a micro-batch reprocessed after a crash merges as a
+   * no-op instead of duplicating state.
+   */
+  def startMergeIngest(spark: SparkSession, inputDir: String, stateDir: String,
+                       checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(transcriptSchema).parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.pipeline.Incremental.ingest(batch.sparkSession, stateDir, batch.toDF())
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Windowed per-conversation turn-rate aggregation with a watermark —
     * the standard streaming-telemetry companion query (event-time window,
     * late data bounded by the watermark). */

@@ -35,12 +35,24 @@ object Sampling {
                  seed: String = "graft"): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
     if (fraction >= 1.0) df
+    else df.filter(hashSamplePredicate(col(idCol), fraction, seed))
+  }
+
+  /** The keep-decision of [[hashSample]] as a standalone boolean Column —
+    * usable inside arbitrary expressions and registered as the SQL function
+    * `hash_sample(id, fraction, seed)`. `fraction >= 1.0` is `true`. */
+  def hashSamplePredicate(id: Column, fraction: Double, seed: String): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    if (fraction >= 1.0) lit(true)
     else {
       // e.g. 0.25 -> "40000000" + 24 zeros: hex strings below it are
       // exactly the bottom quarter of the space (lexicographic == numeric
-      // for fixed-width lowercase hex)
-      val thr = f"${(fraction * 4294967296.0).toLong}%08x" + "0" * 24
-      df.filter(decisionKey(col(idCol), seed) < lit(thr))
+      // for fixed-width lowercase hex). Clamp to 0xFFFFFFFF: a fraction
+      // within ~1 ulp of 1.0 otherwise rounds to exactly 2^32, whose %08x
+      // is the 9-digit "100000000" and the 33-char threshold silently keeps
+      // only ~1/16 of rows.
+      val thr = f"${math.min((fraction * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x" + "0" * 24
+      decisionKey(id, seed) < lit(thr)
     }
   }
 

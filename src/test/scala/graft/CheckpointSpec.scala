@@ -177,6 +177,60 @@ class CheckpointSpec extends SparkSpec {
       maxBucketBytes = Long.MaxValue).count() == seeded + 1)
   }
 
+  test("extendible routing property: bucketKeyExpr == brute-force modulus chain over 100 random split sets") {
+    // the chained-split merge test covers ONE topology; the addressing
+    // itself gets the union-find treatment CC got: randomized split covers,
+    // an independent brute-force oracle, and the liveness + refinement
+    // invariants that make replay through any cover a no-op
+    val base = 16
+    val rnd = new scala.util.Random(562L)
+    def randomCover(): Set[String] = {
+      var live = (0 until base).map(b => (base, b)).toSet
+      var splits = Set.empty[String]
+      for (_ <- 0 until rnd.nextInt(13)) {
+        val (m, b) = live.toSeq.sorted.apply(rnd.nextInt(live.size))
+        splits += s"${m}x$b"
+        live = live - ((m, b)) + ((2 * m, b)) + ((2 * m, b + m))
+      }
+      splits
+    }
+    val covers = Vector.fill(100)(randomCover())
+    // independent oracle: walk the modulus chain directly from the hash
+    def route(h: Long, splits: Set[String]): String = {
+      var m = base
+      var b = java.lang.Math.floorMod(h, m.toLong)
+      while (splits.contains(s"${m}x$b")) { m *= 2; b = java.lang.Math.floorMod(h, m.toLong) }
+      s"${m}x$b"
+    }
+    // oracle-level refinement invariant (what makes split replay a no-op):
+    // adding one more split only re-routes rows OF the split bucket
+    for (s <- covers.take(25); h <- -1000L to 1000L by 37L) {
+      val before = route(h, s)
+      assert(route(h, s + before) != before,
+        "splitting the routed bucket must re-route its rows")
+      val unrelated = s"${base * 32}x999999"
+      assert(route(h, s + unrelated) == before, "unrelated split must not re-route")
+    }
+    // expr == oracle on every cover, evaluated in ONE Spark job per batch
+    // of 20 covers (21 columns each: the hash + 20 routings)
+    val keys = spark.range(0, 200).select(
+      concat(lit("k"), col("id")).as("k1"), (col("id") % 7).cast("string").as("k2"))
+    covers.grouped(20).zipWithIndex.foreach { case (batch, bi) =>
+      val cols = col("k1") +: xxhash64(col("k1"), col("k2")).as("_h") +:
+        batch.zipWithIndex.map { case (s, i) =>
+          Checkpoint.bucketKeyExpr(Seq("k1", "k2"), base, s).as(s"r$i") }
+      val rows = keys.select(cols: _*).collect()
+      batch.zipWithIndex.foreach { case (s, i) =>
+        rows.foreach { r =>
+          val got = r.getString(2 + i)
+          val want = route(r.getLong(1), s)
+          assert(got == want, s"cover#${bi * 20 + i} splits=$s key=${r.getString(0)}: expr=$got oracle=$want")
+          assert(!s.contains(got), s"routed into a SPLIT (dead) bucket $got")
+        }
+      }
+    }
+  }
+
   test("kill-and-resume: pipeline restarted mid-way reuses completed stages") {
     val dir = tmpDir()
     val tr = TranscriptGen.transcripts(spark, 50)

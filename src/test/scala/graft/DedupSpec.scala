@@ -224,12 +224,23 @@ class DedupSpec extends SparkSpec {
     val again = Sampling.stratifiedSample(docs, Seq("lang", "source"), "doc_id", 3, "s2")
     assert(got.select("doc_id").as[Long].collect().toSet ==
       again.select("doc_id").as[Long].collect().toSet)
-    // hashSample prefilter composes: same decision key, same order, so
-    // thinning first must preserve the chosen rows where >= k survive
+    // hashSample prefilter composes: hashSample keeps exactly the rows with
+    // the SMALLEST decision keys and stratifiedSample picks the k smallest,
+    // so in any stratum where >= k rows survive a REAL thinning, the pick is
+    // identical to the unthinned pick
+    val thinned = Sampling.hashSample(docs, "doc_id", 0.5, "s2")
+    assert(thinned.count() < docs.count(), "prefilter must actually remove rows")
+    val survivors = thinned.groupBy("lang", "source").count()
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val eligible = survivors.filter(_._2 >= 3).keySet
+    assert(eligible.nonEmpty, "need at least one stratum with >= k survivors")
     val thinThenPick = Sampling.stratifiedSample(
-      Sampling.hashSample(docs, "doc_id", 1.0, "s2"), Seq("lang", "source"), "doc_id", 3, "s2")
+      thinned, Seq("lang", "source"), "doc_id", 3, "s2")
+      .filter(r => eligible.contains((r.getAs[String]("lang"), r.getAs[String]("source"))))
+    val unthinnedPick = got
+      .filter(r => eligible.contains((r.getAs[String]("lang"), r.getAs[String]("source"))))
     assert(thinThenPick.select("doc_id").as[Long].collect().toSet ==
-      got.select("doc_id").as[Long].collect().toSet)
+      unthinnedPick.select("doc_id").as[Long].collect().toSet)
   }
 
   test("fingerprints: identical normalized docs share fp_content; shingle fp survives prefix edits") {

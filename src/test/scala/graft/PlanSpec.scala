@@ -76,6 +76,19 @@ class PlanSpec extends SparkSpec {
       "expected the native argmin expression in the plan")
   }
 
+  test("ANN scan projection with native cosine is fused into whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = emb.select(col("vec_id"),
+      graft.ann.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    val p = plan(df)
+    // formatted mode marks codegen'd nodes with a leading '*'; combined with
+    // VectorCodegenSpec's not-CodegenFallback + CODEGEN_ONLY-compiles proof,
+    // this pins that the hot ANN projection runs fused, not via boxed eval
+    assert(p.linesIterator.exists(_.trim.startsWith("* Project")),
+      s"expected codegen'd Project over the embedding scan:\n${p.take(1000)}")
+  }
+
   test("hashSample is a pure filter (no Exchange); stratifiedSample plans as WindowGroupLimit") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val pFilter = plan(graft.textops.Sampling.hashSample(docs, "doc_id", 0.25, "s1"))
@@ -104,6 +117,32 @@ class PlanSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("ann1_brute_topk")(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "query set must broadcast")
+  }
+
+  test("prebuilt IVF probe: partition pruning on cell, no corpus-side shuffle") {
+    import org.apache.spark.sql.functions._
+    import graft.ann.Similarity
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = Similarity.ivfCentroids(e, "vec_id", "v", 8)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Similarity.ivfAssign(e, cents, "vec_id", "v")
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    val assigned = spark.read.parquet(idxDir)
+    val queries = e.filter(col("vec_id") < 5)
+    val topk = Similarity.ivfTopKPrebuilt(queries, assigned, cents, "vec_id", "v",
+      k = 5, nProbe = 2)
+    val p = plan(topk)
+    // the probed-cells join must dynamically prune the cell-partitioned
+    // index scan — at 100 TB this is the difference between reading
+    // nProbe/nLists of the corpus and reading all of it
+    assert(p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell; got:\n${p.take(2000)}")
+    // and the index side must never shuffle on cell (broadcast probes join
+    // a pre-partitioned scan in place)
+    assert(!p.contains("Exchange hashpartitioning(cell"),
+      s"assigned index must not be shuffled on cell:\n${p.take(2000)}")
+    assert(topk.count() > 0)
   }
 
   test("GraftExtensions: spark.sql.extensions registers the native functions") {
@@ -154,12 +193,32 @@ class PlanSpec extends SparkSpec {
         .collect()(0)
       assert(sqlRow.getSeq[Long](0) == colRow.getSeq[Long](0), "minhash_sig parity")
       assert(sqlRow.getSeq[Long](1) == colRow.getSeq[Long](1), "band_keys parity")
+      // round-5 additions: nearest_centroid + hash_sample, SQL == Column
+      val ncRow = s2.sql(
+        """SELECT nearest_centroid(array(1.0D, 2.0D),
+          |         array(array(0.0D, 0.0D), array(1.0D, 2.0D))) AS nc,
+          |       hash_sample('doc-42', 0.5D, 'graft') AS hs""".stripMargin)
+        .collect()(0)
+      assert(ncRow.getInt(0) == 1, "nearest_centroid picks the closer cell")
+      val hsCol = graft.textops.Sampling
+        .hashSamplePredicate(lit("doc-42"), 0.5, "graft")
+      val ncCol = org.apache.spark.sql.graftfns.VectorExpressions
+        .nearest_centroid(array(lit(1.0), lit(2.0)),
+          Seq(Seq(0.0, 0.0), Seq(1.0, 2.0)))
+      val r5 = s2.range(1).select(ncCol.as("nc"), hsCol.as("hs")).collect()(0)
+      assert(ncRow.getInt(0) == r5.getInt(0), "nearest_centroid parity")
+      assert(ncRow.getBoolean(1) == r5.getBoolean(1), "hash_sample parity")
       // wrong-typed arguments fail at ANALYSIS time (checkInputDataTypes),
       // not with a runtime ClassCastException mid-query
       val err = intercept[org.apache.spark.sql.AnalysisException] {
         s2.sql("SELECT cosine_fast(array('a','b'), array('c','d'))").collect()
       }
       assert(err.getMessage.toLowerCase.contains("array"))
+      val errNc = intercept[Exception] {
+        s2.sql("SELECT nearest_centroid(array(1.0D), array('x'))").collect()
+      }
+      assert(errNc.getMessage.toLowerCase.contains("centroid") ||
+        errNc.getMessage.toLowerCase.contains("array"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -115,6 +115,44 @@ class StreamingAndIncrementalSpec extends SparkSpec {
     assert(got("cA") == 2L && got("cB") == 1L)
   }
 
+  test("streaming foreachBatch merge == batch mergeIncrement state, resume-safe") {
+    val base = Files.createTempDirectory("graft_smerge").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"
+    val streamState = s"$base/stream_state"; val batchState = s"$base/batch_state"
+    val all = TranscriptGen.transcripts(spark, 120).cache()
+    val inc1 = all.filter(col("conv_id") < "conv_00000070")
+    val inc2 = all.filter(col("conv_id") >= "conv_00000050") // overlaps inc1
+    inc1.write.mode("overwrite").parquet(in)
+    // streaming path: foreachBatch -> mergeIncrement into stream_state
+    StreamingIngest.startMergeIngest(spark, in, streamState, ckpt).awaitTermination()
+    // batch path over the SAME increments
+    Incremental.ingest(spark, batchState, inc1)
+    val s1 = graft.checkpoint.Checkpoint.readMerged(spark, streamState, "inc_triples")
+    val b1 = graft.checkpoint.Checkpoint.readMerged(spark, batchState, "inc_triples")
+    assert(s1.count() == b1.count())
+    assert(s1.exceptAll(b1).isEmpty && b1.exceptAll(s1).isEmpty,
+      "streaming-ingested state must equal batch mergeIncrement state")
+    // the second (overlapping) increment arrives as a new file; only the
+    // delta files are streamed, and the merge dedups the overlap
+    inc2.write.mode("append").parquet(in)
+    StreamingIngest.startMergeIngest(spark, in, streamState, ckpt).awaitTermination()
+    Incremental.ingest(spark, batchState, inc2)
+    val s2 = graft.checkpoint.Checkpoint.readMerged(spark, streamState, "inc_triples")
+    val b2 = graft.checkpoint.Checkpoint.readMerged(spark, batchState, "inc_triples")
+    assert(s2.count() == b2.count())
+    assert(s2.exceptAll(b2).isEmpty && b2.exceptAll(s2).isEmpty)
+    // restart with nothing new: state unchanged (exactly-once composition)
+    StreamingIngest.startMergeIngest(spark, in, streamState, ckpt).awaitTermination()
+    assert(graft.checkpoint.Checkpoint.readMerged(spark, streamState, "inc_triples")
+      .count() == s2.count(), "replayed/empty stream restart is a no-op")
+    // and the downstream pipeline runs identically over streaming state
+    val g1 = Incremental.finalizeGraph(spark, streamState)
+    val g2 = Incremental.finalizeGraph(spark, batchState)
+    val pr = graft.eval.Metrics.setMatchPR(
+      g1.tripleSet, g2.tripleSet, Seq("subj", "pred", "obj"))
+    assert(pr.f1 == 1.0, s"P=${pr.precision} R=${pr.recall}")
+  }
+
   test("incremental ingest: overlapping increments merge idempotently and " +
     "finalize == single batch run") {
     val stateDir = Files.createTempDirectory("graft_inc").toString
