@@ -385,6 +385,10 @@ object SparkEntry {
     "tx4_fingerprints" -> ((s, dir) =>
       graft.textops.TextAnalysis.fingerprints(tbl(s, dir, "documents"), "doc_id", "text")),
 
+    // Gopher-style intra-doc repetition stats — pure per-row expressions
+    "tx5_repetition" -> ((s, dir) =>
+      graft.textops.TextAnalysis.repetitionStats(tbl(s, dir, "documents"), "doc_id", "text")),
+
     // ---- training-data pipeline: deterministic sampling ----
     // hash sampling = the 100 TB sampling method: the keep set is a pure
     // function of (seed, id) — stable under repartitioning/retries/engines
@@ -398,6 +402,45 @@ object SparkEntry {
     "sm2_stratified_sample" -> ((s, dir) => graft.textops.Sampling
       .stratifiedSample(tbl(s, dir, "documents"), Seq("lang", "source"), "doc_id", 3, seed = "s2")
       .select(col("doc_id"), col("lang"), col("source"))),
+
+    // deterministic sequence packing: per-shard seeded order, running token
+    // total, quota pack ids — every assignment reproducible by the oracle
+    "sm3_pack_docs" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.textops.Packing.packDocuments(d, "doc_id",
+          graft.textops.TextAnalysis.tokenCountWs(col("text")),
+          budgetTokens = 200L, shardCol = pmod(col("doc_id"), lit(8L)),
+          seed = "p1")
+        .select(col("doc_id"), col("shard"), col("pack_id"), col("pack_pos"))
+    }),
+
+    // domain-mixture downsample: largest subset hitting the exact en/de/es
+    // 5:3:2 ratio, chosen by the same md5 decision key (lineage-stable)
+    "sm4_mixture" -> ((s, dir) => graft.textops.Sampling
+      .mixtureSample(tbl(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.2), "doc_id", seed = "m1")
+      .select(col("doc_id"), col("lang"))),
+
+    // ---- training-data pipeline: benchmark decontamination ----
+    // eval set = every 97th doc; flag training docs sharing any normalized
+    // word 4-gram with it (GPT-3-style rule; n parameterized, 13 at prod).
+    // Corpus side: scan -> explode grams -> BROADCAST join -> tiny agg;
+    // zero corpus shuffles.
+
+    "dc1_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.textops.Decontaminate.overlapReport(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 4)
+    }),
+
+    "dc2_clean_corpus" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.textops.Decontaminate.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 4)
+        .select(col("doc_id"), col("lang"))
+    }),
 
     // ---- training-data pipeline: multimodal plumbing (decode STUBBED) ----
 
@@ -833,6 +876,76 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang, source
         |  ORDER BY md5(concat('s2', ':', CAST(doc_id AS VARCHAR)))) <= 3""".stripMargin,
+
+    "sm3_pack_docs" ->
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    CAST(len(string_split_regex(lower(text), ' +')) AS BIGINT) AS n_tok,
+        |    md5(concat('p1', ':', CAST(doc_id AS VARCHAR))) AS k
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok, k,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, shard,
+        |  CAST(floor((cum - n_tok) / 200.0) AS BIGINT) AS pack_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY shard, CAST(floor((cum - n_tok) / 200.0) AS BIGINT)
+        |    ORDER BY k) AS INT) AS pack_pos
+        |FROM c""".stripMargin,
+
+    "tx5_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS w FROM documents),
+        |g AS (SELECT doc_id, w,
+        |  [array_to_string(w[i:i+1], ' ') for i in range(1, greatest(len(w), 2))] AS g2,
+        |  [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))] AS g3
+        | FROM d)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS dup_word_ratio,
+        |  round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup_2gram_ratio,
+        |  round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) AS dup_3gram_ratio,
+        |  round(CAST(list_max(list_transform(list_distinct(w),
+        |    x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w), 6) AS top_word_ratio
+        |FROM g""".stripMargin,
+
+    "sm4_mixture" ->
+      """WITH wt AS (SELECT * FROM (VALUES ('en', 0.5::DOUBLE), ('de', 0.3::DOUBLE),
+        |    ('es', 0.2::DOUBLE)) AS t(lang, w)),
+        |cnt AS (SELECT lang, count(*) AS n FROM documents
+        |        WHERE lang IN ('en', 'de', 'es') GROUP BY 1),
+        |c AS (SELECT min(CAST(n AS DOUBLE) / w) AS c FROM cnt JOIN wt USING (lang)),
+        |k AS (SELECT wt.lang, CAST(floor(c.c * wt.w) AS BIGINT) AS k FROM wt, c)
+        |SELECT doc_id, lang FROM (
+        |  SELECT d.doc_id, d.lang, k.k,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(concat('m1', ':', CAST(d.doc_id AS VARCHAR)))) AS rn
+        |  FROM documents d JOIN k USING (lang)) WHERE rn <= k""".stripMargin,
+
+    "dc1_decontaminate" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+3], ' ') for i in range(1, greatest(len(w)-2, 2))]) AS s
+        |  FROM d),
+        |bench AS (SELECT DISTINCT doc_id AS bench_id, unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_hits,
+        |  count(DISTINCT b.bench_id) AS n_bench
+        |FROM corpus c JOIN bench b USING (g) GROUP BY 1""".stripMargin,
+
+    "dc2_clean_corpus" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+3], ' ') for i in range(1, greatest(len(w)-2, 2))]) AS s
+        |  FROM d),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |flagged AS (SELECT DISTINCT c.doc_id
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0) c
+        |  JOIN bench b USING (g))
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
 
     "mm1_assets" ->
       """SELECT doc_id AS asset_id,

@@ -78,4 +78,53 @@ object Sampling {
       .filter(col("_rn") <= k)
       .drop("_rn")
   }
+
+  /**
+   * Domain-mixture downsampling: the LARGEST subset whose per-domain row
+   * counts sit in the exact ratio of `weights` (floor-rounded), chosen
+   * deterministically by hashed order — "rebalance the corpus to 50% web /
+   * 30% code / 20% books" as a pure function of the data.
+   *
+   * Take counts n_d per weighted domain, scale c = min_d(n_d / w_d) (the
+   * binding domain keeps ~all its rows), target k_d = floor(c * w_d), then
+   * keep each domain's first k_d rows by the [[hashSample]] decision key.
+   * `weights` scale-invariant — only ratios matter (exactly so for
+   * power-of-two rescalings, which are FP-exact; an arbitrary rescaling
+   * can move a floor boundary by one row-per-domain at the ulp level);
+   * domains outside `weights` are dropped; a weighted domain ABSENT from
+   * the corpus makes the mixture infeasible → empty result (documented,
+   * not an error).
+   *
+   * 100 TB shape: one tiny count agg (≤ |weights| rows collected — same
+   * "tiny by construction" rule as the IVF centroid table), then ONE
+   * exchange on the domain key for the per-domain top-k window (plans as
+   * WindowGroupLimit: map-side partial top-k before the shuffle). For huge
+   * domains, pre-thin with [[hashSample]] first — the same composition
+   * contract as [[stratifiedSample]].
+   *
+   * Float contract (oracle-portability): c and k_d are IEEE-double
+   * `n_d / w_d`, `min`, `c * w_d`, `floor` IN THAT ORDER, so an engine
+   * recomputing the same sequence (DuckDB oracle sm4) lands on bit-equal
+   * targets.
+   */
+  def mixtureSample(df: DataFrame, domainCol: String,
+                    weights: Map[String, Double], idCol: String,
+                    seed: String = "graft"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0), s"weights $weights")
+    val inWeights = col(domainCol).isin(weights.keySet.toSeq: _*)
+    val counts = df.filter(inWeights)
+      .groupBy(domainCol).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = weights.map { case (d, w) => counts.getOrElse(d, 0L) / w }.min
+    val ks = weights.map { case (d, w) => d -> math.floor(c * w).toLong }
+    val kExpr = ks.foldLeft(lit(0L)) { case (acc, (d, k)) =>
+      when(col(domainCol) === d, lit(k)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(decisionKey(col(idCol), seed))
+    df.filter(inWeights)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= kExpr)
+      .drop("_rn")
+  }
 }

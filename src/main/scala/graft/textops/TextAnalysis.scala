@@ -74,6 +74,32 @@ object TextAnalysis {
       swRatio.as("stopword_ratio"), score.as("quality_score"))
   }
 
+  /**
+   * Intra-document repetition statistics (the Gopher-style repetition
+   * filters, word-level): duplicate-word / duplicate-2-gram /
+   * duplicate-3-gram fractions and the share of the single most frequent
+   * word. Pure per-row column expressions — codegen'd, zero shuffle; the
+   * caller thresholds (e.g. drop docs with dup_3gram_ratio > 0.2).
+   * The top-word scan is O(distinct × words) per doc — bounded by doc
+   * length, never by corpus size.
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val nW = size(ws)
+    def grams(n: Int): Column = transform(
+      sequence(lit(0), greatest(nW - n, lit(0))),
+      i => array_join(slice(ws, i + 1, lit(n)), " "))
+    def dupRatio(arr: Column): Column =
+      round(lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr), 6)
+    val topCnt = array_max(transform(array_distinct(ws),
+      x => size(filter(ws, w => w === x))))
+    df.select(col(idCol),
+      dupRatio(ws).as("dup_word_ratio"),
+      dupRatio(grams(2)).as("dup_2gram_ratio"),
+      dupRatio(grams(3)).as("dup_3gram_ratio"),
+      round(topCnt.cast("double") / nW, 6).as("top_word_ratio"))
+  }
+
   /** Document fingerprints: full-content digest plus a winnowing-style
     * shingle fingerprint (min digest over word 5-grams) — robust to
     * reordering of surrounding content. md5 keeps it oracle-portable. */

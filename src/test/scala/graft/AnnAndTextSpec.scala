@@ -212,6 +212,23 @@ class AnnAndTextSpec extends SparkSpec {
     assert(avgDoc > tiny)
   }
 
+  test("repetitionStats: hand-computed ratios, degenerate single-word doc") {
+    val df = Seq(
+      (1L, "a a a b"),            // dup_word 1-2/4, g2 [aa,aa,ab] 1-2/3, g3 dup 0, top 3/4
+      (2L, "w x y z"),            // all distinct
+      (3L, "solo"),               // 1 word: ratios 0, top 1.0
+      (4L, "p q p q p q")).toDF("id", "text") // period-2: g2 [pq,qp]x, g3 period repeats
+    val got = TextAnalysis.repetitionStats(df, "id", "text")
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got(1L) == ((0.5, 0.333333, 0.0, 0.75)))
+    assert(got(2L) == ((0.0, 0.0, 0.0, 0.25)))
+    assert(got(3L) == ((0.0, 0.0, 0.0, 1.0)))
+    // "p q p q p q": words 1-2/6; g2 = [pq,qp,pq,qp,pq] -> 1-2/5 = 0.6;
+    // g3 = [pqp,qpq,pqp,qpq] -> 0.5; top = 3/6
+    assert(got(4L) == ((0.666667, 0.6, 0.5, 0.5)))
+  }
+
   test("multimodal: stub features deterministic, frames tile the payload exactly") {
     val assets = Multimodal.assets(docs)
     val f1 = Multimodal.extractFeatures(assets).select("asset_id", "features")

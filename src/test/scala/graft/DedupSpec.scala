@@ -243,6 +243,134 @@ class DedupSpec extends SparkSpec {
       unthinnedPick.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("packDocuments: quota rule matches brute force, repartition-invariant, packs fill") {
+    import graft.textops.Packing
+    val budget = 200L
+    def pack(df: org.apache.spark.sql.DataFrame) = Packing.packDocuments(
+      df.select(col("doc_id"), col("text")), "doc_id",
+      TextAnalysis.tokenCountWs(col("text")), budget,
+      pmod(col("doc_id"), lit(8L)), seed = "p1")
+    val got = pack(docs)
+      .withColumn("_tok", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+      .select("doc_id", "shard", "pack_id", "pack_pos", "_tok")
+      .as[(Long, Long, Long, Int, Long)].collect()
+    assert(got.length == docs.count())
+    // brute force: per shard, sort by the md5 decision key, running total,
+    // pack = floor(exclusive_prefix / budget)
+    val keyOf: Long => String = id => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"p1:$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(r => keyOf(r._1)).zipWithIndex.foreach { case (r, _) =>
+        val want = cum / budget
+        assert(r._3 == want, s"doc ${r._1}: pack ${r._3} != brute-force $want")
+        cum += r._5
+      }
+    }
+    // pack_pos is 1..n within each (shard, pack) in key order
+    got.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      assert(rows.sortBy(r => keyOf(r._1)).map(_._4).toSeq == (1 to rows.length))
+    }
+    // closure invariant: a non-final pack only closes because the running
+    // token total reached its budget boundary — its cumulative END is at or
+    // past (pack_id + 1) * budget (packs never close early/arbitrarily)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => keyOf(r._1))
+      val lastPack = rows.map(_._3).max
+      var cum = 0L
+      val endOf = scala.collection.mutable.Map.empty[Long, Long]
+      ordered.foreach { r => cum += r._5; endOf(r._3) = cum }
+      endOf.filter(_._1 < lastPack).foreach { case (pid, end) =>
+        assert(end >= (pid + 1) * budget,
+          s"pack $pid closed at $end before its boundary ${(pid + 1) * budget}")
+      }
+    }
+    // property of the data, not the execution: partitioning doesn't matter
+    val re = pack(docs.repartition(7, col("lang")))
+      .select("doc_id", "shard", "pack_id", "pack_pos")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(re == got.map(r => (r._1, r._2, r._3, r._4)).toSet)
+    // scale shape: ONE exchange (on shard); the second window reuses it
+    val p = pack(docs).queryExecution.executedPlan.toString
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"expected exactly one Exchange (shard), got:\n${p.take(1500)}")
+  }
+
+  test("mixtureSample: exact floor(c*w) per domain, binding domain keeps all, invariances") {
+    import graft.textops.Sampling
+    val rows = (1L to 10L).map(i => (i, "a")) ++
+      (11L to 16L).map(i => (i, "b")) ++
+      (17L to 18L).map(i => (i, "c")) ++
+      (19L to 25L).map(i => (i, "junk")) // unweighted domain: dropped
+    val df = rows.toDF("id", "dom")
+    val weights = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    // c = min(10/0.5, 6/0.3, 2/0.2) = 10 -> k = (5, 3, 2); "c" binds, keeps all
+    val got = Sampling.mixtureSample(df, "dom", weights, "id", seed = "m1")
+      .select("id", "dom").as[(Long, String)].collect()
+    val byDom = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byDom.keySet == Set("a", "b", "c"))
+    assert(byDom("a").size == 5 && byDom("b").size == 3 && byDom("c") == Set(17L, 18L))
+    // chosen rows are the hashed-order PREFIX of each domain
+    val keyOf: Long => String = id => java.security.MessageDigest
+      .getInstance("MD5").digest(s"m1:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(byDom("a") == (1L to 10L).sortBy(keyOf).take(5).toSet)
+    // weights scale-invariant: power-of-two rescaling is FP-exact (an
+    // arbitrary factor can move a floor boundary by 1 ulp — documented)
+    val scaled = Sampling.mixtureSample(df, "dom",
+      weights.view.mapValues(_ * 4.0).toMap, "id", seed = "m1")
+      .select("id").as[Long].collect().toSet
+    assert(scaled == got.map(_._1).toSet)
+    // repartition-invariant (property of the data)
+    val re = Sampling.mixtureSample(df.repartition(5, col("id")), "dom",
+      weights, "id", seed = "m1").select("id").as[Long].collect().toSet
+    assert(re == got.map(_._1).toSet)
+    // a weighted domain absent from the corpus -> infeasible -> empty
+    assert(Sampling.mixtureSample(df, "dom",
+      weights + ("ghost" -> 0.1), "id", seed = "m1").count() == 0)
+  }
+
+  test("decontaminate: n-gram overlap flags, normalization, distinct-hit counts, broadcast plan") {
+    import graft.textops.Decontaminate
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "intro words then alpha beta gamma delta epsilon and more"), // 2 shared 4-grams
+      (2L, "noise ALPHA  Beta gamma DELTA tail"),                       // 1 (case/space norm)
+      (3L, "delta gamma beta alpha epsilon reordered"),                 // reordered: clean
+      (4L, "totally unrelated content here")).toDF("id", "text")
+    val report = Decontaminate.overlapReport(
+      corpus, "id", "text", bench, "bid", "btext", n = 4)
+    val got = report.as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map(1L -> ((2L, 1L)), 2L -> ((1L, 1L))))
+    val clean = Decontaminate.decontaminate(
+      corpus, "id", "text", bench, "bid", "btext", n = 4)
+      .select("id").as[Long].collect().toSet
+    assert(clean == Set(3L, 4L))
+    // minHits=2 only drops the doc with two shared grams
+    val lax = Decontaminate.decontaminate(
+      corpus, "id", "text", bench, "bid", "btext", n = 4, minHits = 2L)
+      .select("id").as[Long].collect().toSet
+    assert(lax == Set(2L, 3L, 4L))
+    // scale shape: bench side broadcasts and the CORPUS never shuffles —
+    // every "Exchange hashpartitioning" sits ABOVE the join in the printed
+    // plan (the post-join multi-distinct agg over matches only, which are
+    // a vanishing fraction of the corpus); below the join there are only
+    // scans and the BroadcastExchange
+    // the corpus (streamed) subtree prints between the join line and the
+    // BroadcastExchange line; the bench side's tiny distinct-shuffle lives
+    // inside the broadcast subtree and is fine
+    val plan = report.queryExecution.executedPlan.toString
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    val bcastAt = plan.indexOf("BroadcastExchange", joinAt)
+    assert(joinAt >= 0 && bcastAt > joinAt, plan.take(1200))
+    assert(!plan.substring(joinAt, bcastAt).contains("Exchange hashpartitioning"),
+      s"corpus-side shuffle crept in below the join:\n${plan.take(1800)}")
+  }
+
   test("fingerprints: identical normalized docs share fp_content; shingle fp survives prefix edits") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
