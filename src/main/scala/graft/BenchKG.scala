@@ -32,6 +32,20 @@ object BenchKG {
       .foreach(v => builder.config("spark.graft.ccRoundsDir", v))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "probe2") {
+      // EXACT replica of Bench.cpuProbe (xxhash64∘sha2 over 2M rows) so a
+      // standalone run is comparable to the per-trial hw_probe_sec history
+      // in BENCH_r*.json (round-4 t32 reference: 0.27-0.34 s)
+      for (i <- 1 to trials) {
+        val t0 = System.nanoTime()
+        spark.range(0, 2000000L, 1, spark.sparkContext.defaultParallelism * 4)
+          .select(sum(pmod(xxhash64(sha2(col("id").cast("string"), 256)), lit(1000000007L))).as("s"))
+          .head()
+        println(f"[probe2] threads=$threads trial=$i wall=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "probe") {
       // workload-representative hardware probe: string materialization +
       // regex + shuffle-free agg, same op mix as extraction (memory-bandwidth
@@ -53,7 +67,25 @@ object BenchKG {
       val tr = spark.read.parquet(s"$fixture/transcripts")
       tr.count()
       val cfg = KGPipeline.Config.fromSession(spark)
+      // per-trial executor-side totals (spill is the first thing to check
+      // when a 10x fixture runs superlinear): reset at trial start
+      val mSpillMem = new java.util.concurrent.atomic.AtomicLong
+      val mSpillDisk = new java.util.concurrent.atomic.AtomicLong
+      val mShufWrite = new java.util.concurrent.atomic.AtomicLong
+      val mGcMs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            mSpillMem.addAndGet(m.memoryBytesSpilled)
+            mSpillDisk.addAndGet(m.diskBytesSpilled)
+            mShufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            mGcMs.addAndGet(m.jvmGCTime)
+          }
+        }
+      })
       for (i <- 1 to trials) {
+        mSpillMem.set(0); mSpillDisk.set(0); mShufWrite.set(0); mGcMs.set(0)
         val t0 = System.nanoTime()
         val result = KGPipeline.run(spark, tr, cfg)
         val t1 = System.nanoTime()
@@ -68,7 +100,11 @@ object BenchKG {
         println(f"[pipeline] threads=$threads parts=$parts trial=$i " +
           f"wall=${(t2 - t0) / 1e9}%.2f s triples=$triples " +
           f"(construct+cc=${(t1 - t0) / 1e9}%.2f canonical=${(t2 - t1) / 1e9}%.2f) " +
-          f"peakHeapGiB=${peakHeap / 1073741824.0}%.2f")
+          f"peakHeapGiB=${peakHeap / 1073741824.0}%.2f " +
+          f"spillMemGiB=${mSpillMem.get / 1073741824.0}%.2f " +
+          f"spillDiskGiB=${mSpillDisk.get / 1073741824.0}%.2f " +
+          f"shufWriteGiB=${mShufWrite.get / 1073741824.0}%.2f " +
+          f"gcSec=${mGcMs.get / 1000.0}%.1f")
         java.lang.management.ManagementFactory.getMemoryPoolMXBeans
           .asScala.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
         // each trial must pay the full pipeline: Spark's CacheManager matches

@@ -105,15 +105,24 @@ object Extraction {
       // materialize the rule matches in their own (whole-stage-codegen'd)
       // projection; the Generate below then explodes a plain column —
       // keeping the match-array work out of GenerateExec's interpreted
-      // generator evaluation. explode_OUTER + isNotNull, deliberately:
-      // a plain explode triggers InferFiltersFromGenerate, whose
-      // size(...)>0 filter gets predicate-pushed BELOW the projection and
-      // re-evaluates the whole 4-rule match array a second time per input
-      // row (measured: +26% pipeline wall). The outer variant is exempt
-      // from that rule; empty arrays surface as one null row filtered on
-      // the generated attribute — cheap and not pushable below Generate.
-      .select(col("conv_id"), col("turn_idx"),
-        filter(ruleStructs, x => x.isNotNull).as("_matches"))
+      // generator evaluation. The match array is deliberately NOT
+      // pre-shrunk with the `filter(arr, isNotNull)` higher-order function:
+      // ArrayFilter is a CodegenFallback expression, and one fallback drags
+      // the ENTIRE rule-match projection out of whole-stage codegen into
+      // interpreted eval (boxed And.eval chains + a Vector.map allocation
+      // per row — thread dumps at 12M turns showed every executor thread in
+      // CaseWhen.eval under ArrayFilter.eval). explode_outer emits null
+      // array entries as null rows, so the isNotNull filter on the
+      // generated attribute below does the same pruning at codegen'd
+      // null-check cost (~#rules extra Generate rows per turn, nanoseconds
+      // each — measured 1.75x faster end-to-end than the interpreted HOF:
+      // 21.0 -> 12.0 s warm-trial KG pipeline at 12.48M turns, 32 threads).
+      // explode_OUTER + isNotNull, deliberately: a plain explode triggers
+      // InferFiltersFromGenerate, whose size(...)>0 filter gets
+      // predicate-pushed BELOW the projection and re-evaluates the whole
+      // 4-rule match array a second time per input row (measured: +26%
+      // pipeline wall). The outer variant is exempt from that rule.
+      .select(col("conv_id"), col("turn_idx"), ruleStructs.as("_matches"))
       .select(col("conv_id"), col("turn_idx"), explode_outer(col("_matches")).as("m"))
       .filter(col("m").isNotNull)
       .select(col("conv_id"), col("turn_idx"),

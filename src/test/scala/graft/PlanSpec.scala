@@ -50,6 +50,15 @@ class PlanSpec extends SparkSpec {
       }.size
     assert(nGens(df) - nGens(tr) == 1,
       s"extraction must add exactly 1 Generate (got ${nGens(df)} vs input ${nGens(tr)})")
+    // the rule-match projection must be FULLY codegen-able: one
+    // CodegenFallback expression (e.g. the ArrayFilter HOF this replaced)
+    // drags the whole projection into interpreted eval on every turn
+    val fallbacks = df.queryExecution.sparkPlan.flatMap(_.expressions)
+      .flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback => e
+      })
+    assert(fallbacks.isEmpty,
+      s"extraction plan contains CodegenFallback expressions: ${fallbacks.map(_.getClass.getSimpleName).distinct}")
   }
 
   test("canonical-triples join carries no broadcast hint (AQE decides at runtime)") {
