@@ -442,6 +442,35 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ---- training-data pipeline: corpus cleaning ----
+    // C4-style boilerplate removal, token-delimited here (the documents
+    // fixture is single-line): drop segments present in >60% of documents,
+    // reassemble survivors in order, drop docs left empty
+    "cl1_boilerplate" -> ((s, dir) => graft.textops.Boilerplate
+      .removeBoilerplate(tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", delimiter = " ", maxDocFrac = 0.6)),
+
+    // PII redaction: counts + placeholder rewrite, zero-shuffle projection.
+    // The fixture corpus has no PII, so the query plants a deterministic
+    // email/phone (+ SSN-shaped id on every 3rd doc) per document first —
+    // the oracle plants the identical strings
+    "cl2_pii_redact" -> ((s, dir) => {
+      val planted = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" call 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          when(pmod(col("doc_id"), lit(3L)) === 0,
+            concat(lit(" id 123-45-"),
+              lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      graft.textops.Pii.redact(planted, "doc_id", "text")
+        .select(col("doc_id"), col("clean_text"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_ssn").cast("long").as("n_ssn"),
+          col("n_phone").cast("long").as("n_phone"))
+    }),
+
     // ---- training-data pipeline: multimodal plumbing (decode STUBBED) ----
 
     "mm1_assets" -> ((s, dir) => graft.multimodal.Multimodal
@@ -946,6 +975,44 @@ object SparkEntry {
         |  JOIN bench b USING (g))
         |SELECT doc_id, lang FROM documents
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+
+    "cl1_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |segs AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i, 'seg': w[i]} for i in range(1, len(w) + 1)],
+        |           recursive := true)
+        |  FROM d),
+        |hot AS (
+        |  SELECT seg FROM (
+        |    SELECT seg, count(*) AS df
+        |    FROM (SELECT DISTINCT seg, doc_id FROM segs) GROUP BY seg)
+        |  WHERE df > floor((SELECT count(DISTINCT doc_id) FROM documents) * 0.6))
+        |SELECT s.doc_id,
+        |  string_agg(CASE WHEN h.seg IS NULL THEN s.seg END, ' ' ORDER BY s.pos) AS clean_text,
+        |  CAST(sum(CASE WHEN h.seg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN h.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM segs s LEFT JOIN hot h USING (seg)
+        |GROUP BY s.doc_id
+        |HAVING sum(CASE WHEN h.seg IS NULL THEN 1 ELSE 0 END) > 0""".stripMargin,
+
+    "cl2_pii_redact" ->
+      """WITH planted AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[ID]', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g') AS clean_text,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phone
+        |FROM planted""".stripMargin,
 
     "mm1_assets" ->
       """SELECT doc_id AS asset_id,
