@@ -194,6 +194,15 @@ object SparkEntry {
           .unionByName(PatternExtraction.rowPatterns(partB)))
     }),
 
+    // entity importance over the constructed KG: fixed-iteration damped
+    // PageRank on the distinct (subj -> obj) edge set of the canonical
+    // triples; the oracle unrolls the identical 10 power steps
+    "kg9_pagerank" -> ((s, dir) => graft.graph.PageRank.run(
+      eventsPipeline(s, dir).tripleSet
+        .filter(col("subj").isNotNull && col("obj").isNotNull)
+        .select(col("subj").as("src"), col("obj").as("dst")),
+      iterations = 10, damping = 0.85)),
+
     // cluster-majority evaluation — the reference's most relational plan
     // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
     // inner/left-outer joins + coalesce, as one DataFrame
@@ -471,6 +480,29 @@ object SparkEntry {
           col("n_phone").cast("long").as("n_phone"))
     }),
 
+    // ExactSubstr-style duplicated-span report (Lee et al. 2022): word
+    // 4-gram spans occurring >1x corpus-wide, merged into maximal spans
+    "es1_dup_spans" -> ((s, dir) => graft.textops.ExactSubstr
+      .duplicationReport(tbl(s, dir, "documents"), "doc_id", "text", k = 4)
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("max_span_tokens").cast("long").as("max_span_tokens"),
+        col("dup_fraction"))),
+
+    // corpus vocabulary: top-100 words with rank + cumulative coverage
+    "vb1_vocab" -> ((s, dir) => graft.textops.Vocab
+      .topWords(tbl(s, dir, "documents"), "text", k = 100)),
+
+    // DSIR-style importance scores vs an in-corpus target (lang = 'en');
+    // hashed md5-prefix buckets make the weights oracle-derivable
+    "qf1_importance" -> ((s, dir) => graft.textops.Importance
+      .importanceReport(tbl(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")),
+
+    // CCNet-style perplexity quality gate: hashed-bigram LM trained on the
+    // corpus itself, scored as a zero-shuffle projection
+    "qf2_perplexity" -> ((s, dir) => graft.textops.LanguageModel
+      .perplexityReport(tbl(s, dir, "documents"), "doc_id", "text")),
+
     // ---- training-data pipeline: multimodal plumbing (decode STUBBED) ----
 
     "mm1_assets" -> ((s, dir) => graft.multimodal.Multimodal
@@ -625,6 +657,37 @@ object SparkEntry {
          |pat AS (SELECT subj, array_to_string(list_sort(list_distinct(list(pred))), '|') AS pattern
          |        FROM triples GROUP BY subj)
          |SELECT pattern, COUNT(*) AS n_entities FROM pat GROUP BY 1""".stripMargin,
+
+    "kg9_pagerank" -> {
+      // 10 unrolled damped power steps (recursive CTEs with aggregation in
+      // the recursive term are non-portable; unrolling is)
+      val iters = 10
+      val d = 0.85
+      // AS MATERIALIZED everywhere: each step references its predecessor
+      // twice (dangling mass + contributions); inlined CTEs would blow the
+      // plan up 2^iters
+      val steps = (1 to iters).map { k =>
+        val p = s"pr${k - 1}"
+        s"""dang$k AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS m FROM $p
+           |  WHERE node NOT IN (SELECT src FROM e)),
+           |pr$k AS MATERIALIZED (SELECT nd.node,
+           |    (1 - $d) / (SELECT n FROM nn)
+           |      + $d * (coalesce(c.s, 0) + (SELECT m FROM dang$k) / (SELECT n FROM nn)) AS r
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst AS node, sum(p.r / od.deg) AS s
+           |    FROM $p p JOIN e ON p.node = e.src JOIN od ON od.src = e.src
+           |    GROUP BY 1) c USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""$triplesCte,
+         |e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+         |      WHERE subj IS NOT NULL AND obj IS NOT NULL),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+         |pr0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+         |$steps
+         |SELECT node, round(r, 6) AS rank FROM pr$iters""".stripMargin
+    },
 
     "kg8_untyped_patterns" ->
       """WITH a AS (
@@ -1013,6 +1076,85 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
         |  len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phone
         |FROM planted""".stripMargin,
+
+    "es1_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(
+        |    [{'pos': i - 1, 'gram': array_to_string(w[i:i+3], ' ')}
+        |     for i in range(1, len(w) - 2)], recursive := true)
+        |  FROM d WHERE len(w) >= 4),
+        |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) > 1),
+        |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+        |      THEN 0 ELSE 1 END AS brk FROM dp)),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |n AS (SELECT doc_id, len(w) AS n FROM d)
+        |SELECT sp.doc_id, count(*) AS n_spans,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |  CAST(max(e - s + 1) AS BIGINT) AS max_span_tokens,
+        |  round(CAST(sum(e - s + 1) AS DOUBLE) / any_value(n.n), 6) AS dup_fraction
+        |FROM sp JOIN n USING (doc_id) GROUP BY 1""".stripMargin,
+
+    "vb1_vocab" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(text), ' +')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS n FROM w WHERE len(word) > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+        |k AS (SELECT word, n FROM c ORDER BY n DESC, word ASC LIMIT 100)
+        |SELECT row_number() OVER (ORDER BY n DESC, word ASC) AS rank, word, n,
+        |  round(n / (SELECT total FROM t), 6) AS frac,
+        |  round(CAST(sum(n) OVER (ORDER BY n DESC, word ASC
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / (SELECT total FROM t), 6)
+        |    AS cum_frac
+        |FROM k""".stripMargin,
+
+    "qf1_importance" ->
+      """WITH b AS (SELECT doc_id, substr(md5(word), 1, 2) AS bucket FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS word
+        |    FROM documents)),
+        |r AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+        |t AS (SELECT bucket, count(*) AS n FROM b JOIN documents USING (doc_id)
+        |  WHERE lang = 'en' GROUP BY 1),
+        |tr AS (SELECT CAST(sum(n) AS DOUBLE) AS s FROM r),
+        |tt AS (SELECT CAST(sum(n) AS DOUBLE) AS s FROM t),
+        |wt AS (SELECT bucket,
+        |  round(ln((coalesce(t.n, 0) / (SELECT s FROM tt) + 0.0001)
+        |         / (coalesce(r.n, 0) / (SELECT s FROM tr) + 0.0001)), 6) AS w
+        |  FROM r FULL OUTER JOIN t USING (bucket))
+        |SELECT b.doc_id, count(*) AS n_tokens,
+        |  round(sum(coalesce(wt.w, 0)), 6) AS score
+        |FROM b LEFT JOIN wt USING (bucket) GROUP BY 1""".stripMargin,
+
+    "qf2_perplexity" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    [ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))] AS bgs
+        |  FROM w),
+        |ub AS (SELECT substr(md5(x), 1, 2) AS bucket, count(*) AS n
+        |  FROM (SELECT unnest(ws) AS x FROM w) GROUP BY 1),
+        |bb AS (SELECT substr(md5(x), 1, 2) AS bucket, count(*) AS n
+        |  FROM (SELECT unnest(bgs) AS x FROM bg) GROUP BY 1),
+        |num AS (SELECT bucket, round(ln(n + 0.1), 6) AS v FROM bb),
+        |den AS (SELECT bucket, round(ln(n + 0.1 * 256), 6) AS v FROM ub),
+        |p AS (SELECT doc_id, unnest(bgs) AS bgr FROM bg),
+        |s AS (SELECT p.doc_id,
+        |    coalesce(num.v, round(ln(0.1), 6))
+        |      - coalesce(den.v, round(ln(0.1 * 256), 6)) AS lp
+        |  FROM p
+        |  LEFT JOIN num ON num.bucket = substr(md5(p.bgr), 1, 2)
+        |  LEFT JOIN den ON den.bucket = substr(md5(string_split(p.bgr, ' ')[1]), 1, 2)),
+        |a AS (SELECT doc_id, count(*) AS m,
+        |    round(sum(lp) / count(*), 6) AS avg_logp
+        |  FROM s GROUP BY 1)
+        |SELECT w.doc_id, CAST(coalesce(a.m, 0) AS BIGINT) AS n_bigrams,
+        |  a.avg_logp, round(exp(-a.avg_logp), 6) AS ppl
+        |FROM w LEFT JOIN a USING (doc_id)""".stripMargin,
 
     "mm1_assets" ->
       """SELECT doc_id AS asset_id,

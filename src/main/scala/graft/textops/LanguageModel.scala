@@ -1,0 +1,126 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Hashed-bigram language-model perplexity scoring — the CCNet-style
+ * quality gate (Wenzek et al. 2020 score web documents with a KenLM
+ * 5-gram model and keep the low-perplexity tail; Brown et al. 2020 use
+ * the same shape for GPT-3's quality filtering). A full KenLM is a
+ * single-machine artifact; the engine-native equivalent is a bigram
+ * model over HASHED token buckets (the same trick [[Importance]] uses,
+ * after Xie et al. 2023): collision-lossy but distribution-faithful,
+ * portable (md5 buckets — the DuckDB oracle reproduces them bit-for-bit),
+ * and with a model size fixed at B = 16^hexChars buckets regardless of
+ * corpus size.
+ *
+ * Model: add-α smoothed bucket bigram conditional
+ *
+ *   P(w2 | w1) = (c2(b(w1 w2)) + α) / (c1(b(w1)) + α·B)
+ *
+ * Per document: avg_logp = (1/m) Σ ln P over its m consecutive token
+ * pairs; ppl = exp(-avg_logp). Because ln P = ln(c2+α) − ln(c1+α·B)
+ * splits into two single-bucket terms, the model collapses to TWO weight
+ * tables of ≤ B rows (numerator keyed by bigram bucket, denominator by
+ * unigram bucket), each entry rounded to 6 dp BEFORE scoring so the
+ * per-pair logp is a difference of short decimals, not of
+ * libm-dependent logs.
+ *
+ * 100 TB shape: training is two partial-agg shuffles carrying ≤ B rows
+ * each after map-side combine; the two weight tables collect to the
+ * driver (tiny by construction — the IVF-centroid rule); scoring is then
+ * a ZERO-SHUFFLE pure projection (two map-literal lookups and a fold per
+ * document), repartition/retry-invariant and whole-stage-codegen
+ * friendly (built-in collection expressions only).
+ *
+ * No reference analog; part of the training-data operator family.
+ */
+object LanguageModel {
+
+  private def words(textCol: Column): Column =
+    filter(split(lower(textCol), " +"), w => length(w) > 0)
+
+  private def bucket(s: Column, hexChars: Int): Column =
+    substring(md5(s), 1, hexChars)
+
+  /** Consecutive-pair column over the word array: array of "w1 w2"
+    * strings (length = size(words) - 1; empty for 0/1-token docs — the
+    * `greatest` guard keeps slice's length argument non-negative when
+    * the word array is empty). */
+  private def bigrams(ws: Column): Column = {
+    val m = greatest(size(ws) - 1, lit(0))
+    zip_with(slice(ws, lit(1), m), slice(ws, lit(2), m),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Bigram-bucket counts over the corpus: (bucket, n). */
+  def bigramBucketFreqs(docs: DataFrame, textCol: String,
+                        hexChars: Int = 2): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 4, s"hexChars $hexChars")
+    docs.select(explode(bigrams(words(col(textCol)))).as("_bg"))
+      .groupBy(bucket(col("_bg"), hexChars).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The two collected weight tables: (numerator ln(c2+α) by bigram
+    * bucket, denominator ln(c1+α·B) by unigram bucket), both 6-dp.
+    * Buckets with zero count are ABSENT; score-time lookups default to
+    * the corresponding ln(α) / ln(α·B) smoothed-zero constants. */
+  def train(docs: DataFrame, textCol: String, hexChars: Int = 2,
+            alpha: Double = 0.1): (Map[String, Double], Map[String, Double]) = {
+    val b = math.pow(16.0, hexChars)
+    def collect6(df: DataFrame, f: Double => Double): Map[String, Double] =
+      df.collect().map { r =>
+        r.getString(0) ->
+          BigDecimal(f(r.getLong(1).toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    val num = collect6(bigramBucketFreqs(docs, textCol, hexChars),
+      c => math.log(c + alpha))
+    val den = collect6(Importance.bucketFreqs(docs, textCol, hexChars),
+      c => math.log(c + alpha * b))
+    (num, den)
+  }
+
+  /**
+   * Score documents against collected weight tables: (id, n_bigrams,
+   * avg_logp, ppl), both 6-dp; documents with fewer than 2 tokens carry
+   * n_bigrams = 0 and NULL scores (no pairs to judge — the caller's
+   * length filter owns them).
+   */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                num: Map[String, Double], den: Map[String, Double],
+                hexChars: Int = 2, alpha: Double = 0.1): DataFrame = {
+    val b = math.pow(16.0, hexChars)
+    def lit6(v: Double): Column =
+      lit(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def mapLit(m: Map[String, Double]): Column =
+      if (m.isEmpty) map()
+      else map(m.toSeq.sorted.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val numM = mapLit(num)
+    val denM = mapLit(den)
+    val ws = words(col(textCol))
+    val pairLogp = (bg: Column) =>
+      coalesce(element_at(numM, bucket(bg, hexChars)), lit6(math.log(alpha))) -
+        coalesce(element_at(denM,
+          bucket(substring_index(bg, " ", 1), hexChars)),
+          lit6(math.log(alpha * b)))
+    val bgs = bigrams(ws)
+    val m = size(bgs)
+    val total = aggregate(transform(bgs, pairLogp), lit(0.0), (acc, x) => acc + x)
+    val avg = when(m > 0, round(total / m, 6))
+    docs.select(col(idCol), m.cast("long").as("n_bigrams"),
+      avg.as("avg_logp"), round(exp(-avg), 6).as("ppl"))
+  }
+
+  /** End-to-end: train the hashed-bigram model on the corpus itself and
+    * score every document (self-perplexity — the repetitive/boilerplate
+    * tail scores LOW ppl, gibberish scores HIGH; both tails are filter
+    * targets). */
+  def perplexityReport(docs: DataFrame, idCol: String, textCol: String,
+                       hexChars: Int = 2, alpha: Double = 0.1): DataFrame = {
+    val (num, den) = train(docs, textCol, hexChars, alpha)
+    scoreDocs(docs, idCol, textCol, num, den, hexChars, alpha)
+  }
+}
