@@ -1140,17 +1140,17 @@ object SparkEntry {
         |  FROM (SELECT unnest(ws) AS x FROM w) GROUP BY 1),
         |bb AS (SELECT substr(md5(x), 1, 2) AS bucket, count(*) AS n
         |  FROM (SELECT unnest(bgs) AS x FROM bg) GROUP BY 1),
-        |num AS (SELECT bucket, round(ln(n + 0.1), 6) AS v FROM bb),
-        |den AS (SELECT bucket, round(ln(n + 0.1 * 256), 6) AS v FROM ub),
+        |num AS (SELECT bucket, CAST(round(ln(n + 0.1) * 1e6, 0) AS BIGINT) AS v FROM bb),
+        |den AS (SELECT bucket, CAST(round(ln(n + 0.1 * 256) * 1e6, 0) AS BIGINT) AS v FROM ub),
         |p AS (SELECT doc_id, unnest(bgs) AS bgr FROM bg),
         |s AS (SELECT p.doc_id,
-        |    coalesce(num.v, round(ln(0.1), 6))
-        |      - coalesce(den.v, round(ln(0.1 * 256), 6)) AS lp
+        |    coalesce(num.v, CAST(round(ln(0.1) * 1e6, 0) AS BIGINT))
+        |      - coalesce(den.v, CAST(round(ln(0.1 * 256) * 1e6, 0) AS BIGINT)) AS lp
         |  FROM p
         |  LEFT JOIN num ON num.bucket = substr(md5(p.bgr), 1, 2)
         |  LEFT JOIN den ON den.bucket = substr(md5(string_split(p.bgr, ' ')[1]), 1, 2)),
         |a AS (SELECT doc_id, count(*) AS m,
-        |    round(sum(lp) / count(*), 6) AS avg_logp
+        |    CAST(sum(lp) AS DOUBLE) / 1e6 / count(*) AS avg_logp
         |  FROM s GROUP BY 1)
         |SELECT w.doc_id, CAST(coalesce(a.m, 0) AS BIGINT) AS n_bigrams,
         |  a.avg_logp, round(exp(-a.avg_logp), 6) AS ppl

@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
  * pairs; ppl = exp(-avg_logp). Because ln P = ln(c2+α) − ln(c1+α·B)
  * splits into two single-bucket terms, the model collapses to TWO weight
  * tables of ≤ B rows (numerator keyed by bigram bucket, denominator by
- * unigram bucket), each entry rounded to 6 dp BEFORE scoring so the
- * per-pair logp is a difference of short decimals, not of
- * libm-dependent logs.
+ * unigram bucket). Weights are held as INTEGER MICRO-LOG-UNITS
+ * (round(ln·10⁶) as long): the per-document sum is then exact integer
+ * arithmetic — associative, so identical under ANY aggregation order or
+ * partitioning, unlike a double fold whose 6th decimal can depend on
+ * summation order (a real mismatch the sf0.01 oracle run caught).
  *
  * 100 TB shape: training is two partial-agg shuffles carrying ≤ B rows
  * each after map-side combine; the two weight tables collect to the
@@ -63,22 +65,25 @@ object LanguageModel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** round(x·10⁶) half-away-from-zero, matching SQL `round(x, 0)`. */
+  private def micro(x: Double): Long =
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   /** The two collected weight tables: (numerator ln(c2+α) by bigram
-    * bucket, denominator ln(c1+α·B) by unigram bucket), both 6-dp.
-    * Buckets with zero count are ABSENT; score-time lookups default to
-    * the corresponding ln(α) / ln(α·B) smoothed-zero constants. */
+    * bucket, denominator ln(c1+α·B) by unigram bucket), both in integer
+    * micro-log-units. Buckets with zero count are ABSENT; score-time
+    * lookups default to the corresponding ln(α) / ln(α·B) smoothed-zero
+    * constants. */
   def train(docs: DataFrame, textCol: String, hexChars: Int = 2,
-            alpha: Double = 0.1): (Map[String, Double], Map[String, Double]) = {
+            alpha: Double = 0.1): (Map[String, Long], Map[String, Long]) = {
     val b = math.pow(16.0, hexChars)
-    def collect6(df: DataFrame, f: Double => Double): Map[String, Double] =
+    def collectMicro(df: DataFrame, f: Double => Double): Map[String, Long] =
       df.collect().map { r =>
-        r.getString(0) ->
-          BigDecimal(f(r.getLong(1).toDouble))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        r.getString(0) -> micro(f(r.getLong(1).toDouble))
       }.toMap
-    val num = collect6(bigramBucketFreqs(docs, textCol, hexChars),
+    val num = collectMicro(bigramBucketFreqs(docs, textCol, hexChars),
       c => math.log(c + alpha))
-    val den = collect6(Importance.bucketFreqs(docs, textCol, hexChars),
+    val den = collectMicro(Importance.bucketFreqs(docs, textCol, hexChars),
       c => math.log(c + alpha * b))
     (num, den)
   }
@@ -90,26 +95,32 @@ object LanguageModel {
    * length filter owns them).
    */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
-                num: Map[String, Double], den: Map[String, Double],
+                num: Map[String, Long], den: Map[String, Long],
                 hexChars: Int = 2, alpha: Double = 0.1): DataFrame = {
     val b = math.pow(16.0, hexChars)
-    def lit6(v: Double): Column =
-      lit(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    def mapLit(m: Map[String, Double]): Column =
+    def mapLit(m: Map[String, Long]): Column =
       if (m.isEmpty) map()
       else map(m.toSeq.sorted.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     val numM = mapLit(num)
     val denM = mapLit(den)
     val ws = words(col(textCol))
     val pairLogp = (bg: Column) =>
-      coalesce(element_at(numM, bucket(bg, hexChars)), lit6(math.log(alpha))) -
+      coalesce(element_at(numM, bucket(bg, hexChars)), lit(micro(math.log(alpha)))) -
         coalesce(element_at(denM,
           bucket(substring_index(bg, " ", 1), hexChars)),
-          lit6(math.log(alpha * b)))
+          lit(micro(math.log(alpha * b))))
     val bgs = bigrams(ws)
     val m = size(bgs)
-    val total = aggregate(transform(bgs, pairLogp), lit(0.0), (acc, x) => acc + x)
-    val avg = when(m > 0, round(total / m, 6))
+    // exact long sum of micro-units — associative, order-independent
+    val total = aggregate(transform(bgs, pairLogp), lit(0L), (acc, x) => acc + x)
+    // avg_logp stays UNROUNDED: it derives from exact integers through a
+    // fixed IEEE op sequence, so it is bit-identical everywhere — while
+    // its 6-dp rounding would sit exactly ON half-boundaries (total/1e6
+    // has 6 decimals; /m lands on x.xxxxxx5 whenever m | 2·total) where
+    // engines' rounding implementations legitimately disagree. ppl IS
+    // rounded (6 dp): exp() is transcendental — never on a boundary —
+    // and the round absorbs libm's last-ulp variation.
+    val avg = when(m > 0, total.cast("double") / 1e6 / m)
     docs.select(col(idCol), m.cast("long").as("n_bigrams"),
       avg.as("avg_logp"), round(exp(-avg), 6).as("ppl"))
   }

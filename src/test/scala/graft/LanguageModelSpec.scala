@@ -15,12 +15,12 @@ class LanguageModelSpec extends SparkSpec {
     (6L, "")                   // empty -> no tokens at all
   ).toDF("doc_id", "text")
 
-  test("weight tables are bounded by the bucket space and 6dp-rounded") {
+  test("weight tables are bounded by the bucket space, in micro-log-units") {
     val (num, den) = LanguageModel.train(docs, "text", hexChars = 1)
     assert(num.size <= 16 && den.size <= 16, (num.size, den.size))
+    // ln of a small count, scaled 1e6: well inside +-100e6
     for (v <- num.values ++ den.values)
-      assert(BigDecimal(v).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble == v, v)
+      assert(math.abs(v) < 100000000L, v)
   }
 
   test("in-distribution text scores lower perplexity than gibberish") {
@@ -44,14 +44,12 @@ class LanguageModelSpec extends SparkSpec {
     val (num, den) = LanguageModel.train(one, "text", hexChars = 2, alpha = 0.1)
     val row = LanguageModel.scoreDocs(one, "doc_id", "text", num, den).head()
     assert(row.getLong(1) == 1L)
-    val expected = BigDecimal(num.values.head - den.head._2)
     // bucket of "x" vs bucket of "y" may differ; recompute exactly:
     val xBucket = java.security.MessageDigest.getInstance("MD5")
       .digest("x".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
-    val lp = num.values.head - den(xBucket)
-    assert(math.abs(row.getDouble(2) -
-      BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      <= 1e-9, (row.getDouble(2), lp, expected))
+    val lpMicro = num.values.head - den(xBucket) // exact long micro-units
+    assert(math.abs(row.getDouble(2) - lpMicro / 1e6) <= 1e-9,
+      (row.getDouble(2), lpMicro))
     assert(math.abs(row.getDouble(3) - math.exp(-row.getDouble(2))) < 1e-5)
   }
 

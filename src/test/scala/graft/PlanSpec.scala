@@ -154,6 +154,43 @@ class PlanSpec extends SparkSpec {
     assert(topk.count() > 0)
   }
 
+  test("qf1/qf2: importance + perplexity scoring are exchange-free projections") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = Map("0a" -> 1.0, "ff" -> -0.5)
+    val pImp = plan(graft.textops.Importance.scoreDocs(docs, "doc_id", "text", w))
+    assert(!pImp.contains("Exchange"),
+      s"importance scoring must not shuffle (collected weight table):\n${pImp.take(800)}")
+    val pLm = plan(graft.textops.LanguageModel.scoreDocs(
+      docs, "doc_id", "text", Map("0a" -> 1000000L), Map("0a" -> 2000000L)))
+    assert(!pLm.contains("Exchange"),
+      s"perplexity scoring must not shuffle:\n${pLm.take(800)}")
+  }
+
+  test("vb1: vocabulary top-K plans as TakeOrdered, never a full corpus sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.textops.Vocab.topWords(docs, "text", 100))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K must be a per-partition heap + driver merge of K rows:\n${p.take(1200)}")
+    // the word-count aggregate must partial-agg before its exchange
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"expected map-side combine on word counts:\n${p.take(1200)}")
+  }
+
+  test("es1: every window in the span merge is partitioned by document") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // sparkPlan, not executedPlan: the AQE wrapper's children are opaque
+    // to collect() before execution
+    val df = graft.textops.ExactSubstr.duplicatedSpans(docs, "doc_id", "text", 4)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty, "expected a gaps-and-islands window")
+    assert(windows.forall(_.nonEmpty),
+      "a global (unpartitioned) window would single-task the corpus at scale")
+  }
+
   test("GraftExtensions: spark.sql.extensions registers the native functions") {
     // a derived session over the shared SparkContext, built THROUGH the
     // extensions hook (the spark-submit deployment path). getOrCreate
