@@ -503,6 +503,27 @@ object SparkEntry {
     "qf2_perplexity" -> ((s, dir) => graft.textops.LanguageModel
       .perplexityReport(tbl(s, dir, "documents"), "doc_id", "text")),
 
+    // as-of (temporal) join: each click joined to the user's most recent
+    // at-or-before purchase — union+window formulation, ONE shuffle, no
+    // join operator; oracle is DuckDB's native ASOF LEFT JOIN. Purchases
+    // pre-aggregated per (user, ts) for tie determinism; timestamps leave
+    // the result as epoch micros (engine-portable rendering)
+    "ev1_asof" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max(col("value")).as("p_val"))
+      graft.operators.AsOfJoin.asOf(clicks, purchases,
+        Seq("user_id"), "ts", "p_ts")
+        .select(col("event_id"), col("user_id"),
+          col("p_val").as("last_purchase_value"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("p_ts").cast("timestamp")))
+            .as("usec_since_purchase"))
+    }),
+
     // ---- training-data pipeline: multimodal plumbing (decode STUBBED) ----
 
     "mm1_assets" -> ((s, dir) => graft.multimodal.Multimodal
@@ -1155,6 +1176,17 @@ object SparkEntry {
         |SELECT w.doc_id, CAST(coalesce(a.m, 0) AS BIGINT) AS n_bigrams,
         |  a.avg_logp, round(exp(-a.avg_logp), 6) AS ppl
         |FROM w LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    "ev1_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p0 AS (
+        |  SELECT user_id, ts AS p_ts, max(value) AS p_val
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, p.p_val AS last_purchase_value,
+        |  epoch_us(c.ts) - epoch_us(p.p_ts) AS usec_since_purchase
+        |FROM clicks c ASOF LEFT JOIN p0 p
+        |  ON c.user_id = p.user_id AND c.ts >= p.p_ts""".stripMargin,
 
     "mm1_assets" ->
       """SELECT doc_id AS asset_id,
