@@ -430,6 +430,13 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.2), "doc_id", seed = "m1")
       .select(col("doc_id"), col("lang"))),
 
+    // A-ES weighted sampling without replacement: 150 docs, inclusion
+    // probability ~ n_chars, keys hash-derived (deterministic lineage)
+    "sm5_weighted" -> ((s, dir) => graft.textops.Sampling
+      .weightedSample(tbl(s, dir, "documents"), "doc_id", "n_chars",
+        k = 150, seed = "w1")
+      .select(col("doc_id"), col("lang"), col("n_chars"))),
+
     // ---- training-data pipeline: benchmark decontamination ----
     // eval set = every 97th doc; flag training docs sharing any normalized
     // word 4-gram with it (GPT-3-style rule; n parameterized, 13 at prod).
@@ -1032,6 +1039,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY d.lang
         |      ORDER BY md5(concat('m1', ':', CAST(d.doc_id AS VARCHAR)))) AS rn
         |  FROM documents d JOIN k USING (lang)) WHERE rn <= k""".stripMargin,
+
+    "sm5_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((('0x' || substr(md5('w1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents WHERE n_chars > 0)
+        |ORDER BY k DESC, doc_id ASC LIMIT 150""".stripMargin,
 
     "dc1_decontaminate" ->
       """WITH d AS (SELECT doc_id,

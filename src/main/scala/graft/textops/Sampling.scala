@@ -127,4 +127,37 @@ object Sampling {
       .filter(col("_rn") <= kExpr)
       .drop("_rn")
   }
+
+  /**
+   * Weighted sampling without replacement, deterministic — Efraimidis &
+   * Spirakis 2006 ("Weighted random sampling with a reservoir", A-ES):
+   * each row draws key ln(u)/w with u uniform in (0,1) and w > 0 its
+   * weight; the k LARGEST keys are a without-replacement sample with
+   * inclusion probability proportional to weight. The uniform is
+   * hash-derived, u = (first-8-hex(md5(seed:id)) + 0.5) / 2³², so the
+   * chosen set is a pure function of (seed, id, weight) — the same
+   * lineage contract as [[hashSample]] — and (u + 0.5)/2³² is exactly
+   * representable, so every engine computes the identical u.
+   *
+   * 100 TB shape: a pure projection (one md5 per ROW, not per token) +
+   * TakeOrdered top-k — per-partition heaps, driver merge of k rows,
+   * never a full sort, zero exchange before the take. Rows with
+   * non-positive weight are excluded (A-ES precondition).
+   *
+   * Last-ulp caveat: ln() may differ across libms in the final ulp; that
+   * reorders two rows only when their keys agree to ~2⁻⁵², which the
+   * 2⁻³²-quantized u makes vanishingly unlikely off exact (u, w) ties —
+   * and exact ties break on the id.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: String = "graft"): DataFrame = {
+    require(k > 0, s"k $k")
+    val u = (conv(substring(decisionKey(col(idCol), seed), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    df.filter(col(weightCol) > 0)
+      .withColumn("_aes", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("_aes").desc, col(idCol).asc)
+      .limit(k)
+      .drop("_aes")
+  }
 }

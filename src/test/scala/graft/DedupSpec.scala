@@ -333,6 +333,35 @@ class DedupSpec extends SparkSpec {
       weights + ("ghost" -> 0.1), "id", seed = "m1").count() == 0)
   }
 
+  test("weightedSample: A-ES top-k matches brute force, weight-proportional, invariant") {
+    import graft.textops.Sampling
+    val rows = (1L to 200L).map(i => (i, if (i <= 20) 1000.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 25, seed = "aes1")
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 25)
+    // brute-force A-ES with the same hash-derived uniforms
+    val keyOf: Long => Double = { id =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"aes1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      math.log(u) / rows(id.toInt - 1)._2
+    }
+    val brute = rows.map(_._1).sortBy(id => (-keyOf(id), id)).take(25).toSet
+    assert(got == brute, s"got=$got\nbrute=$brute")
+    // heavy rows (20 of 200, weight 1000x) dominate the 25-row sample
+    assert(got.count(_ <= 20L) >= 15, s"heavy-weight rows underrepresented: $got")
+    // repartition-invariant; non-positive weights excluded
+    val re = Sampling.weightedSample(df.repartition(9), "id", "w", 25, "aes1")
+      .select("id").as[Long].collect().toSet
+    assert(re == got)
+    val withZero = df.union(Seq((999L, 0.0), (998L, -1.0)).toDF("id", "w"))
+    val z = Sampling.weightedSample(withZero, "id", "w", 300, "aes1")
+      .select("id").as[Long].collect().toSet
+    assert(!z.contains(999L) && !z.contains(998L) && z.size == 200)
+  }
+
   test("decontaminate: n-gram overlap flags, normalization, distinct-hit counts, broadcast plan") {
     import graft.textops.Decontaminate
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("bid", "btext")
