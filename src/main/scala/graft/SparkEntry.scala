@@ -510,6 +510,13 @@ object SparkEntry {
     "qf2_perplexity" -> ((s, dir) => graft.textops.LanguageModel
       .perplexityReport(tbl(s, dir, "documents"), "doc_id", "text")),
 
+    // BM25 ranked retrieval: three query terms with spread document
+    // frequencies; term stats collect (tiny by definition), scoring is a
+    // zero-shuffle projection + TakeOrdered
+    "ir1_bm25" -> ((s, dir) => graft.textops.Bm25.search(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      Seq("spark", "vector", "dup"), k = 100)),
+
     // as-of (temporal) join: each click joined to the user's most recent
     // at-or-before purchase — union+window formulation, ONE shuffle, no
     // join operator; oracle is DuckDB's native ASOF LEFT JOIN. Purchases
@@ -1191,6 +1198,41 @@ object SparkEntry {
         |SELECT w.doc_id, CAST(coalesce(a.m, 0) AS BIGINT) AS n_bigrams,
         |  a.avg_logp, round(exp(-a.avg_logp), 6) AS ppl
         |FROM w LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    "ir1_bm25" -> {
+      // arithmetic written in the SAME order as the Scala expression tree
+      // (left-assoc products, (1.2 + 1) not 2.2) so the doubles are
+      // bit-identical; idf's ln may differ by a libm ulp — absorbed by the
+      // 6dp round on an irrational score
+      val terms = Seq("spark", "vector", "dup")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(ws, x -> x = '$t')) AS tf$i" }.mkString(",\n|  ")
+      val idfs = terms.zipWithIndex.map { case (t, i) =>
+        s"""ln(((SELECT n FROM st) - coalesce((SELECT df FROM dfq WHERE t = '$t'), 0) + 0.5)
+           |    / (coalesce((SELECT df FROM dfq WHERE t = '$t'), 0) + 0.5) + 1) AS idf$i""".stripMargin
+      }.mkString(",\n|  ")
+      val scoreSum = terms.indices.map(i =>
+        s"idf$i * tf$i * (1.2 + 1) / (tf$i + 1.2 * ((1 - 0.75) + 0.75 * dl / (SELECT avgdl FROM st)))")
+        .mkString(" + ")
+      val matchedSum = terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS ws
+         |  FROM documents),
+         |st AS MATERIALIZED (SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM d),
+         |dfq AS MATERIALIZED (SELECT t, count(*) AS df FROM (
+         |  SELECT doc_id, unnest(list_intersect(list_distinct(ws),
+         |    [${terms.map(t => s"'$t'").mkString(", ")}])) AS t FROM d) GROUP BY 1),
+         |sc AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+         |  $tfCols
+         |  FROM d),
+         |i AS MATERIALIZED (SELECT
+         |  $idfs)
+         |SELECT doc_id, round($scoreSum, 6) AS score,
+         |  CAST($matchedSum AS BIGINT) AS n_terms_matched
+         |FROM sc, i
+         |WHERE $matchedSum > 0
+         |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin
+    },
 
     "ev1_asof" ->
       """WITH clicks AS (
