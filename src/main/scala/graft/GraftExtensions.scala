@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => VectorExpressions.L2Distance(es(0), es(1))))
     ext.injectFunction(fn("hyperplane_sig", 3,
       es => VectorExpressions.HyperplaneSignature(es(0), es(1), es(2))))
+    ext.injectFunction(fn("quantize_i8", 1,
+      es => VectorExpressions.QuantizeI8(es.head)))
     ext.injectFunction(fn("euclidean_sig", 4, es => {
       // bucket width is a constructor parameter (compile-time constant in
       // every generated plan) — fold the SQL argument at build time

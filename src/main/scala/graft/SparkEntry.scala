@@ -337,6 +337,25 @@ object SparkEntry {
       graft.ann.Similarity.euclideanPairs(e.unionByName(planted), "vec_id", "v", 0.01)
     }),
 
+    // SemDeDup-style semantic dedup: cluster-assign (zero-exchange native
+    // NearestCentroid projection), then greedy min-id prune within each
+    // cell at cosine >= 0.999. Oracle-backed with DETERMINISTIC centroids
+    // (the first 8 embeddings) so DuckDB re-derives the assignment; the
+    // production path swaps in Similarity.ivfCentroids (Lloyd-refined) —
+    // same mechanics, pinned here. Corpus plants 1.001-scaled copies of
+    // the first 50 vectors (cosine 1.0 with their originals).
+    "dd7_semantic_dedup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("v"), x => x * 1.001).as("v"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"))
+      graft.textops.Dedup.semanticDedup(
+        e.unionByName(planted), "vec_id", "v", cents, 0.999)
+    }),
+
     // ---- training-data pipeline: similarity search ----
 
     "ann1_brute_topk" -> ((s, dir) => {
@@ -376,6 +395,17 @@ object SparkEntry {
       graft.ann.Similarity.ivfTopK(
         emb.filter(col("vec_id") < 5), emb, "vec_id", "v", 10,
         nLists = 16, nProbe = 16)
+    }),
+
+    // int8-quantized brute-force top-k — the 4x memory/shuffle-footprint
+    // index posture (FAISS SQ8 analog). Truncation-toward-zero codes and
+    // exact small-integer dot products make the quantized cosine
+    // bit-portable, so the oracle re-derives the EXACT result (not a
+    // recall bound — that is asserted separately in AnnAndTextSpec).
+    "ann4_quant_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.ann.Similarity.quantizedTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
     }),
 
     // ---- training-data pipeline: text analysis ----
@@ -888,6 +918,51 @@ object SparkEntry {
         |               + list_inner_product(b.v, b.v), 0)), 6) AS dist
         |         FROM p a JOIN p b ON a.blk = b.blk AND a.vec_id < b.vec_id)
         |SELECT DISTINCT id_a, id_b, dist FROM cand WHERE dist <= 0.01""".stripMargin,
+
+    "dd7_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id, v FROM e
+        |      UNION ALL SELECT vec_id + 100000, list_transform(v, x -> x * 1.001)
+        |      FROM e WHERE vec_id < 50),
+        |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e WHERE vec_id < 8),
+        |d AS (SELECT u.vec_id, c.cell,
+        |        round(sqrt(greatest(list_inner_product(u.v, u.v)
+        |          - 2 * list_inner_product(u.v, c.cvec)
+        |          + list_inner_product(c.cvec, c.cvec), 0)), 9) AS dist
+        |      FROM u CROSS JOIN c),
+        |asg AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |  FROM d) WHERE rn = 1),
+        |withv AS (SELECT a.vec_id, a.cell, u.v FROM asg a JOIN u USING (vec_id)),
+        |dup AS (SELECT DISTINCT b.vec_id FROM withv a JOIN withv b
+        |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |        WHERE round(list_inner_product(a.v, b.v) /
+        |          (sqrt(list_inner_product(a.v, a.v)) *
+        |           sqrt(list_inner_product(b.v, b.v))), 6) >= 0.999)
+        |SELECT vec_id, cell FROM asg
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
+
+    "ann4_quant_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |q8 AS (SELECT vec_id,
+        |         CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> trunc(x * 127.0 / mx)) END AS qv
+        |       FROM sc),
+        |q AS (SELECT vec_id AS query_id, qv AS qqv FROM q8 WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    round(CASE WHEN list_inner_product(qqv, qqv) = 0
+        |                 OR list_inner_product(c.qv, c.qv) = 0 THEN 0.0
+        |      ELSE list_inner_product(qqv, c.qv) /
+        |        (sqrt(list_inner_product(qqv, qqv)) *
+        |         sqrt(list_inner_product(c.qv, c.qv))) END, 6) AS qcosine
+        |  FROM q JOIN q8 c ON c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, qcosine, CAST(rn AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcosine DESC, neighbor_id) AS rn
+        |  FROM scored) WHERE rn <= 10""".stripMargin,
 
     "ann1_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

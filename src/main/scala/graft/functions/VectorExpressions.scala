@@ -148,6 +148,28 @@ object VectorExpressions {
     sig
   }
 
+  /** Per-vector symmetric int8 quantization: q_i = trunc(x_i * 127 / max|x|)
+    * (an all-zero vector quantizes to all zeros). Truncation toward zero is
+    * the portable rounding — Scala's `.toInt`, Spark's double->int cast and
+    * DuckDB's `trunc()` all agree on it, so an oracle can re-derive the
+    * exact codes. The quantized codes are small integers, so downstream
+    * dot products/norms are EXACT in double arithmetic regardless of
+    * summation order — the quantized cosine is bit-portable across engines
+    * by construction. */
+  def quantizeI8(a: ArrayData, at: Int): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val x = math.abs(elemAt(a, i, at)); if (x > s) s = x; i += 1
+    }
+    val out = new Array[Int](n)
+    if (s != 0.0) {
+      i = 0
+      while (i < n) { out(i) = (elemAt(a, i, at) * 127.0 / s).toInt; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def round9(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
       .doubleValue()
@@ -322,6 +344,27 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Symmetric per-vector int8 quantization (see [[quantizeI8]]) — the
+    * standard ANN memory/bandwidth lever: an `array<float>` embedding
+    * column shrinks 4x when stored/shuffled as int8 codes, and
+    * [[CosineSimilarity]] accepts the int arrays directly (its element
+    * reader is type-dispatched), so the quantized brute-force/IVF verify
+    * path reuses the same fused codegen loop. Per-VECTOR max-abs scaling
+    * keeps the quantized cosine scale-free, exactly like the float cosine. */
+  case class QuantizeI8(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVector(prettyName, child)
+    @transient private lazy val at = tagOf(child.dataType)
+    override def nullSafeEval(v: Any): Any =
+      quantizeI8(v.asInstanceOf[ArrayData], at)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Helper.quantizeI8($c, $at);")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   import org.apache.spark.sql.classic.ExpressionUtils
 
   /** Column API: native one-pass cosine. */
@@ -346,6 +389,10 @@ object VectorExpressions {
   /** Column API: index of the nearest centroid among a constant list. */
   def nearest_centroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(vec), centroids))
+
+  /** Column API: symmetric int8 quantization codes. */
+  def quantize_i8(vec: Column): Column =
+    ExpressionUtils.column(QuantizeI8(ExpressionUtils.expression(vec)))
 
   /** Column API: bucketed-random-projection signature for table t. */
   def euclidean_sig(vec: Column, planes: Int, table: Int, width: Double): Column = {

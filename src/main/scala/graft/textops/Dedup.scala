@@ -226,4 +226,56 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+   * Data-efficient learning at web-scale through semantic deduplication"):
+   * cluster the embedding space coarsely, then prune near-duplicates
+   * WITHIN each cluster only — the pairwise-cosine cost drops from
+   * O(n^2) to sum over cells of |cell|^2, and with k ~ sqrt(n) clusters
+   * the expected cell is O(sqrt(n)).
+   *
+   * Plan shape at scale: assignment is a pure PROJECTION (the native
+   * [[org.apache.spark.sql.graftfns.VectorExpressions.NearestCentroid]]
+   * expression via [[graft.ann.Similarity.ivfAssign]] — zero exchange on
+   * the corpus); the only shuffle is the within-cell self-join keyed by
+   * `cell`, and a `cell`-partitioned persisted assignment makes even that
+   * co-located. Cells are guardable by the family-standard
+   * `maxCell`/`pairBudget` caps ([[graft.link.MinHashBlocking.capBuckets]]);
+   * the defaults keep EXACT semantics (the oracle contract), turn the caps
+   * on for degenerate corpora (one mega-cluster of boilerplate).
+   *
+   * Prune rule: a document is dropped when ANY lower-id document in its
+   * cell has 6-dp-rounded cosine >= `minCosine` with it (greedy min-id
+   * winner — deterministic and engine-portable). This is the pairwise-
+   * dominated rule, not transitive-closure grouping: for chain merging
+   * (a~b, b~c, a!~c collapses to one survivor) feed the within-cell pairs
+   * into [[minhashDedup]]'s pairs->ConnectedComponents->min-id path.
+   *
+   * `centroids` is a tiny (cell:int, cvec:array<double>) table — from
+   * [[graft.ann.Similarity.ivfCentroids]] (Lloyd-refined, sample-trained)
+   * in production, or any deterministic pick when an oracle must re-derive
+   * the assignment.
+   *
+   * Output: surviving (idCol, cell) rows.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, minCosine: Double,
+                    maxCell: Int = Int.MaxValue,
+                    pairBudget: Long = Long.MaxValue): DataFrame = {
+    val assigned = graft.ann.Similarity.ivfAssign(df, centroids, idCol, vecCol)
+      .select(col(idCol).as("_id"), col("cell"), col(vecCol).as("_v"))
+    val capped =
+      if (maxCell == Int.MaxValue && pairBudget == Long.MaxValue) assigned
+      else MinHashBlocking.capBuckets(assigned, Seq("cell"), maxCell, pairBudget)
+    val a = capped.select(col("cell"), col("_id").as("_id_a"), col("_v").as("_v_a"))
+    val b = capped.select(col("cell"), col("_id").as("_id_b"), col("_v").as("_v_b"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("_id_a") < col("_id_b"))
+      .filter(round(graft.ann.Similarity.cosine(col("_v_a"), col("_v_b")), 6)
+        >= minCosine)
+      .select(col("_id_b").as("_dup")).distinct()
+    assigned.join(dups, assigned("_id") === dups("_dup"), "left_anti")
+      .select(col("_id").as(idCol), col("cell"))
+  }
 }

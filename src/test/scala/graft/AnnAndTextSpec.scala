@@ -169,6 +169,53 @@ class AnnAndTextSpec extends SparkSpec {
     assert(fast == reference, "projection argmin != join+agg argmin")
   }
 
+  test("quantizedTopK: int8 codes keep recall@10 >= 0.9 vs exact float cosine") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    info(f"int8-quantized recall@10 = $recall%.3f")
+    assert(recall >= 0.9, s"recall $recall")
+    // the memory claim: codes really are int8-ranged ints (4x-packable)
+    val codes = emb.select(explode(Similarity.quantizeI8(col("embedding"))).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(codes.getInt(0) >= -127 && codes.getInt(1) <= 127)
+  }
+
+  test("semanticDedup: planted near-dups pruned within cells, min-id survives") {
+    import graft.textops.Dedup
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val planted = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("v"), x => x * 1.001).as("v"))
+    val corpus = e.unionByName(planted)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"))
+    val survivors = Dedup.semanticDedup(corpus, "vec_id", "v", cents, 0.999)
+      .as[(Long, Int)].collect().toMap
+    val n = e.count()
+    // no natural pair reaches cosine 0.999 (fixture max < 0.9), so every
+    // ORIGINAL survives; a planted copy is pruned iff the cell assignment
+    // put it with its original (0.1% scaling rarely flips an argmin)
+    assert((0L until n).forall(survivors.contains), "an original was pruned")
+    val prunedCopies = 50 - survivors.keys.count(_ >= 100000L)
+    info(s"pruned $prunedCopies/50 planted copies")
+    assert(prunedCopies >= 40, s"only $prunedCopies planted copies pruned")
+    // greedy rule is within-cell: any surviving copy must sit in a
+    // DIFFERENT cell than its original (argmin flipped at the boundary)
+    survivors.keys.filter(_ >= 100000L).foreach { c =>
+      assert(survivors(c) != survivors(c - 100000L),
+        s"copy $c survived in its original's cell")
+    }
+    // caps compose: a tiny maxCell prunes fewer (or equal) rows, never errors
+    val capped = Dedup.semanticDedup(corpus, "vec_id", "v", cents, 0.999,
+      maxCell = 4, pairBudget = 100L)
+    assert(capped.count() >= survivors.size.toLong)
+  }
+
   test("hyperplane signature: deterministic and similarity-sensitive") {
     val s1 = emb.select(Similarity.hyperplaneSignature(col("embedding"), 16).as("s"))
       .as[Long].collect()

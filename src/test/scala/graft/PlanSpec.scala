@@ -128,6 +128,44 @@ class PlanSpec extends SparkSpec {
       "query set must broadcast")
   }
 
+  test("ann4: quantization is a fused projection; corpus never shuffled") {
+    val p = plan(SparkEntry.queries("ann4_quant_topk")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query set must broadcast")
+    assert(p.contains("quantizei8") || p.contains("QuantizeI8"),
+      "expected the native quantization expression in the plan")
+    // the int8 index build must be a pure scan->project (persistable 4x
+    // smaller); the only allowed Exchange is the top-k window's
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = emb.select(col("vec_id"),
+      graft.ann.Similarity.quantizeI8(col("embedding")).as("codes"))
+    val pIdx = plan(idx)
+    assert(!pIdx.contains("Exchange"),
+      s"quantized index build must not shuffle:\n${pIdx.take(800)}")
+    assert(pIdx.linesIterator.exists(_.trim.startsWith("* Project")),
+      "quantization projection must be codegen-fused")
+  }
+
+  test("dd7: semantic-dedup assignment side carries no Exchange before the cell join") {
+    // the corpus reaches the within-cell self-join having been SCANNED and
+    // PROJECTED only — assignment is the native argmin expression; the
+    // plan's exchanges are the cell-join + distinct + anti-join ones, none
+    // keyed on the raw corpus id upstream of assignment
+    val df = SparkEntry.queries("dd7_semantic_dedup")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("nearestcentroid") || p.contains("NearestCentroid"),
+      "expected the native argmin in the dedup plan")
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"))
+    val assigned = graft.ann.Similarity.ivfAssign(emb, cents, "vec_id", "v")
+    assert(!plan(assigned).contains("Exchange"),
+      "semantic-dedup assignment must stay a pure projection")
+  }
+
   test("prebuilt IVF probe: partition pruning on cell, no corpus-side shuffle") {
     import org.apache.spark.sql.functions._
     import graft.ann.Similarity

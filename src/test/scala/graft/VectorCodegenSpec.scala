@@ -21,7 +21,8 @@ class VectorCodegenSpec extends SparkSpec {
                   classOf[VectorExpressions.L2Distance],
                   classOf[VectorExpressions.HyperplaneSignature],
                   classOf[VectorExpressions.EuclideanSignature],
-                  classOf[VectorExpressions.NearestCentroid]))
+                  classOf[VectorExpressions.NearestCentroid],
+                  classOf[VectorExpressions.QuantizeI8]))
       assert(!fallback.isAssignableFrom(c), s"${c.getSimpleName} is CodegenFallback")
   }
 
@@ -33,7 +34,8 @@ class VectorCodegenSpec extends SparkSpec {
       VectorExpressions.l2_dist(col("a"), col("b")).as("l2"),
       VectorExpressions.hyperplane_sig(col("a"), 12, 3).as("hp"),
       VectorExpressions.euclidean_sig(col("a"), 4, 2, 0.7).as("eu"),
-      VectorExpressions.nearest_centroid(col("a"), cents).as("nc"))
+      VectorExpressions.nearest_centroid(col("a"), cents).as("nc"),
+      VectorExpressions.quantize_i8(col("a")).as("q8"))
   }
 
   /** Rows covering: float/double arrays, zero norms, nulls, length mismatch
@@ -81,6 +83,13 @@ class VectorCodegenSpec extends SparkSpec {
     assert(byId(4L).isNullAt(5), "len-2 vector vs len-3 centroids -> nc null")
     assert(byId(5L).isNullAt(1) && byId(5L).isNullAt(3) && byId(5L).isNullAt(5),
       "null vector propagates")
+    assert(byId(2L).getSeq[Int](6) == Seq(0, 0, 0),
+      "zero vector quantizes to all-zero codes")
+    assert(byId(1L).getSeq[Int](6) == Seq(42, 84, 127),
+      "int8 codes are trunc(x * 127 / max|x|)")
+    assert(byId(3L).getSeq[Int](6) == Seq(76, -127, 12),
+      "negative components truncate toward zero")
+    assert(byId(5L).isNullAt(6), "null vector -> null codes")
   }
 
   test("HOF cross-check: native codegen'd cosine/l2 equal the zip_with formulation") {
