@@ -79,9 +79,63 @@ object ProbeLab {
     spark.stop()
   }
 
+  /** `runMain graft.ProbeLab quant`: the int8-quantized ANN index vs the
+    * float index on a synthetic 1M x 64-dim corpus — measured cached
+    * footprint, parquet footprint, and brute-force scoring wall from each
+    * (the scoring loop is the same fused native cosine either way; the win
+    * is bytes moved/held, which is what dominates a 100 TB index). */
+  private def quantCost(): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("probe-quant")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dims = 64
+    // full-mantissa pseudo-random floats: real embeddings are entropy-dense,
+    // so parquet can't dictionary-encode them away — a lattice-valued
+    // synthetic (e.g. pmod 2001) would flatter the float index's footprint
+    val base = spark.range(0, 1000000L, 1, 32)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          j => (xxhash64(col("id"), j).cast("double") / 9.223372036854776e18)
+            .cast("float"))
+          .as("v"))
+    val floatIdx = base.cache()
+    floatIdx.count()
+    val quantIdx = base
+      .select(col("id"), graft.ann.Similarity.quantizeI8(col("v")).as("v")).cache()
+    quantIdx.count()
+    val Seq(floatMem, quantMem) =
+      spark.sparkContext.getRDDStorageInfo.toSeq.sortBy(_.id).map(_.memSize)
+    println(s"[lab] cache float=$floatMem int8=$quantMem ratio=${
+      f"${floatMem.toDouble / quantMem}%.2f"}")
+    val tmp = java.nio.file.Files.createTempDirectory("probe_quant").toString
+    floatIdx.write.mode("overwrite").parquet(s"$tmp/fidx")
+    quantIdx.write.mode("overwrite").parquet(s"$tmp/qidx")
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val (fB, qB) = (dirBytes(s"$tmp/fidx"), dirBytes(s"$tmp/qidx"))
+    println(f"[lab] parquet float=$fB int8=$qB ratio=${fB.toDouble / qB}%.2f")
+    val queries = base.limit(16).collect()
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(queries.toIndexedSeq, 1), base.schema)
+    for ((name, idx) <- Seq("float" -> floatIdx, "int8" -> quantIdx); trial <- 1 to 3) {
+      val t0 = System.nanoTime()
+      graft.ann.Similarity
+        .bruteForceTopK(qdf, idx, "id", "v", 10)
+        .agg(sum(col("neighbor_id"))).head()
+      println(f"[lab] quant scan=$name%-6s trial=$trial wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("simhash")) { simhashCost(); return }
     if (args.headOption.contains("veccodegen")) { vecCodegenCost(); return }
+    if (args.headOption.contains("quant")) { quantCost(); return }
     val rows = 4000000L
     for (threads <- Seq(1, 4, 8)) {
       val spark = SparkSession.builder().master(s"local[$threads]")

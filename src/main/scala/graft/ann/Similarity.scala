@@ -119,7 +119,7 @@ object Similarity {
   }
 
   /** Symmetric per-vector int8 quantization codes (native expression,
-    * codegen'd): `array<float>` -> `array<int>` with values in [-127, 127].
+    * codegen'd): `array<float>` -> `array<tinyint>` with values in [-127, 127].
     * The scale lever for 100 TB ANN — a quantized corpus index is 4x
     * smaller on disk, in memory, and on every shuffle/broadcast, and the
     * codes feed [[cosine]] directly (type-dispatched element reader). */

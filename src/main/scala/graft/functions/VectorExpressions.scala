@@ -35,9 +35,11 @@ object VectorExpressions {
 
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
-  /** Element types the loop helpers can read — the accepted vector payloads. */
+  /** Element types the loop helpers can read — the accepted vector payloads
+    * (byte/short admit quantized index columns, see [[QuantizeI8]]). */
   private def numericElem(dt: DataType): Boolean = dt match {
-    case FloatType | DoubleType | IntegerType | LongType => true
+    case FloatType | DoubleType | IntegerType | LongType
+       | ByteType | ShortType => true
     case _ => false
   }
 
@@ -73,6 +75,8 @@ object VectorExpressions {
     case ArrayType(DoubleType, _) => 1
     case ArrayType(IntegerType, _) => 2
     case ArrayType(LongType, _) => 3
+    case ArrayType(ByteType, _) => 4
+    case ArrayType(ShortType, _) => 5
     case other => throw new IllegalArgumentException(s"unsupported vector type $other")
   }
 
@@ -80,6 +84,8 @@ object VectorExpressions {
     case 0 => a.getFloat(i).toDouble
     case 1 => a.getDouble(i)
     case 2 => a.getInt(i).toDouble
+    case 4 => a.getByte(i).toDouble
+    case 5 => a.getShort(i).toDouble
     case _ => a.getLong(i).toDouble
   }
 
@@ -155,17 +161,20 @@ object VectorExpressions {
     * exact codes. The quantized codes are small integers, so downstream
     * dot products/norms are EXACT in double arithmetic regardless of
     * summation order — the quantized cosine is bit-portable across engines
-    * by construction. */
+    * by construction. Codes are emitted as `array<tinyint>` so the 4x
+    * claim is REAL end-to-end: 1 byte/element in the columnar cache, in
+    * parquet, and on every shuffle/broadcast (an int-typed code array
+    * would silently keep 4 bytes/element). */
   def quantizeI8(a: ArrayData, at: Int): ArrayData = {
     val n = a.numElements()
     var s = 0.0; var i = 0
     while (i < n) {
       val x = math.abs(elemAt(a, i, at)); if (x > s) s = x; i += 1
     }
-    val out = new Array[Int](n)
+    val out = new Array[Byte](n)
     if (s != 0.0) {
       i = 0
-      while (i < n) { out(i) = (elemAt(a, i, at) * 127.0 / s).toInt; i += 1 }
+      while (i < n) { out(i) = (elemAt(a, i, at) * 127.0 / s).toInt.toByte; i += 1 }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
@@ -353,7 +362,7 @@ object VectorExpressions {
     * keeps the quantized cosine scale-free, exactly like the float cosine. */
   case class QuantizeI8(child: Expression)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
     override def nullable: Boolean = child.nullable
     override def checkInputDataTypes(): TypeCheckResult =
       checkVector(prettyName, child)

@@ -178,10 +178,16 @@ class AnnAndTextSpec extends SparkSpec {
     val recall = exact.intersect(quant).size.toDouble / exact.size
     info(f"int8-quantized recall@10 = $recall%.3f")
     assert(recall >= 0.9, s"recall $recall")
-    // the memory claim: codes really are int8-ranged ints (4x-packable)
-    val codes = emb.select(explode(Similarity.quantizeI8(col("embedding"))).as("c"))
+    // the memory claim: codes really are 1-byte elements (tinyint), so the
+    // persisted/cached/shuffled index is 4x smaller than float — not just
+    // "int8-ranged values in 4-byte slots"
+    val codeCol = emb.select(Similarity.quantizeI8(col("embedding")).as("codes"))
+    assert(codeCol.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false))
+    val codes = codeCol.select(explode(col("codes")).as("c"))
       .agg(min("c"), max("c")).head()
-    assert(codes.getInt(0) >= -127 && codes.getInt(1) <= 127)
+    assert(codes.getByte(0) >= -127 && codes.getByte(1) <= 127)
   }
 
   test("semanticDedup: planted near-dups pruned within cells, min-id survives") {

@@ -83,11 +83,11 @@ class VectorCodegenSpec extends SparkSpec {
     assert(byId(4L).isNullAt(5), "len-2 vector vs len-3 centroids -> nc null")
     assert(byId(5L).isNullAt(1) && byId(5L).isNullAt(3) && byId(5L).isNullAt(5),
       "null vector propagates")
-    assert(byId(2L).getSeq[Int](6) == Seq(0, 0, 0),
+    assert(byId(2L).getSeq[Byte](6).map(_.toInt) == Seq(0, 0, 0),
       "zero vector quantizes to all-zero codes")
-    assert(byId(1L).getSeq[Int](6) == Seq(42, 84, 127),
+    assert(byId(1L).getSeq[Byte](6).map(_.toInt) == Seq(42, 84, 127),
       "int8 codes are trunc(x * 127 / max|x|)")
-    assert(byId(3L).getSeq[Int](6) == Seq(76, -127, 12),
+    assert(byId(3L).getSeq[Byte](6).map(_.toInt) == Seq(76, -127, 12),
       "negative components truncate toward zero")
     assert(byId(5L).isNullAt(6), "null vector -> null codes")
   }
