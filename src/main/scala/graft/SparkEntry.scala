@@ -467,6 +467,13 @@ object SparkEntry {
         k = 150, seed = "w1")
       .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // deterministic corpus shuffle + sharding: the pretraining pipeline's
+    // final stage — seeded permutation as (shard, pos), pure f(seed, id)
+    "sm6_shard" -> ((s, dir) => graft.textops.Sampling
+      .shardShuffle(tbl(s, dir, "documents"), "doc_id", numShards = 8,
+        seed = "sh1")
+      .select(col("doc_id"), col("shard"), col("pos"))),
+
     // ---- training-data pipeline: benchmark decontamination ----
     // eval set = every 97th doc; flag training docs sharing any normalized
     // word 4-gram with it (GPT-3-style rule; n parameterized, 13 at prod).
@@ -1129,6 +1136,15 @@ object SparkEntry {
         |        + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS k
         |  FROM documents WHERE n_chars > 0)
         |ORDER BY k DESC, doc_id ASC LIMIT 150""".stripMargin,
+
+    "sm6_shard" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5('sh1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 8 AS INT) AS shard,
+        |  row_number() OVER (PARTITION BY
+        |      ('0x' || substr(md5('sh1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+        |    ORDER BY md5('sh1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |FROM documents""".stripMargin,
 
     "dc1_decontaminate" ->
       """WITH d AS (SELECT doc_id,

@@ -160,4 +160,42 @@ object Sampling {
       .limit(k)
       .drop("_aes")
   }
+
+  /**
+   * Deterministic corpus shuffle + sharding — the final stage of every
+   * pretraining data pipeline ("globally shuffle the corpus, write N
+   * shards"). Each row gets `shard` in [0, numShards) and `pos`, its
+   * 0-based position within the shard; reading shards in order and rows by
+   * `pos` yields a seeded pseudo-random permutation of the corpus that is
+   * a pure function of (seed, id) — reproducible across engines, partition
+   * counts, and retries, so the training-example order is auditable
+   * lineage, never an execution accident (a naive `ORDER BY rand()` is
+   * neither stable nor resumable).
+   *
+   * Shard = first-8-hex of the decision key mod numShards (uniform, so
+   * shards balance to ~|corpus|/numShards ± sqrt); intra-shard order is
+   * the full 32-hex key (id tiebreak). Shard and position both derive from
+   * the SAME md5, so one hash per row total.
+   *
+   * 100 TB shape: ONE exchange (hash on `shard`) + an external sort per
+   * shard for the position window — never a global sort (a global
+   * `ORDER BY` range-partitions and resorts the entire corpus; this sorts
+   * each shard independently). `numShards` is the parallelism/size knob:
+   * at 100 TB pick shards of a few GB (tens of thousands of shards), so
+   * each per-shard sort is small and the downstream
+   * `write.partitionBy("shard")` emits bounded files. numShards >= the
+   * cluster's cores keeps every executor busy.
+   */
+  def shardShuffle(df: DataFrame, idCol: String, numShards: Int,
+                   seed: String = "graft"): DataFrame = {
+    require(numShards > 0, s"numShards $numShards")
+    val key = decisionKey(col(idCol), seed)
+    // first 8 hex digits < 2^32, so the cast is non-negative and % == pmod
+    val shard = (conv(substring(key, 1, 8), 16, 10).cast("long")
+      % numShards).cast("int")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(key.asc, col(idCol).asc)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
 }

@@ -243,6 +243,31 @@ class DedupSpec extends SparkSpec {
       unthinnedPick.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("shardShuffle: a seeded permutation — balanced shards, contiguous pos, invariant") {
+    import graft.textops.Sampling
+    val n = docs.count()
+    val got = Sampling.shardShuffle(docs, "doc_id", 8, "sh1")
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect()
+    assert(got.length == n, "every row present — a permutation drops nothing")
+    assert(got.map(t => (t._2, t._3)).toSet.size == n.toInt, "(shard,pos) unique")
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 8).toSet))
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $s positions must be contiguous 0..n_s-1")
+      // hash-uniform balance: ±50% of the mean is a generous 3+ sigma band
+      assert(math.abs(rows.length - n / 8.0) < n / 16.0, s"shard $s size ${rows.length}")
+    }
+    // pure function of (seed, id): partitioning of the INPUT cannot move a row
+    val again = Sampling.shardShuffle(docs.repartition(7), "doc_id", 8, "sh1")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(got.toSet == again.toSet, "repartition-invariant")
+    val other = Sampling.shardShuffle(docs, "doc_id", 8, "sh2")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(other.toSet != got.toSet, "seed-sensitive")
+  }
+
   test("packDocuments: quota rule matches brute force, repartition-invariant, packs fill") {
     import graft.textops.Packing
     val budget = 200L

@@ -109,6 +109,17 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial top-k (WindowGroupLimit); got:\n${pStrat.take(800)}")
   }
 
+  test("shardShuffle: ONE hash exchange on shard, never a global range sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.textops.Sampling.shardShuffle(docs, "doc_id", 8, "sh1"))
+    // count tree nodes ("Exchange (3)"), not the details section's echo
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 1,
+      s"expected exactly one Exchange (hash on shard); got:\n${p.take(1000)}")
+    assert(p.contains("hashpartitioning"), s"shard exchange must hash-partition:\n${p.take(800)}")
+    assert(!p.contains("rangepartitioning"),
+      s"a global sort (range partitioning) would resort the whole corpus:\n${p.take(800)}")
+  }
+
   test("stableTurns plans as a per-group top-1 limit, not a full window sort") {
     val tr = graft.fixtures.TranscriptGen.transcripts(spark, 10)
     val p = plan(graft.ingest.Transcripts.stableTurns(tr))
