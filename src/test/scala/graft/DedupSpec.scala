@@ -243,6 +243,37 @@ class DedupSpec extends SparkSpec {
       unthinnedPick.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("BenchDedup corpus: planted truth — the dedup chain recovers exactly the families") {
+    import graft.textops.{Dedup, Sampling}
+    val n = 10000L
+    val c = graft.BenchDedup.corpus(spark, n, 8).cache()
+    assert(c.count() == n)
+    val kinds = c.groupBy("kind").count().as[(String, Long)].collect().toMap
+    assert(kinds("head") == n / 4)
+    // non-head slots split ~25/25/50 exact/near/uniq by hash
+    assert(math.abs(kinds("exact") - n * 3 / 16.0) < n / 40.0, kinds.toString)
+    assert(math.abs(kinds("near") - n * 3 / 16.0) < n / 40.0, kinds.toString)
+    // exact digest count = n - #exact (each exact doc shares its head's digest)
+    assert(Dedup.exact(c, "id", "text").count() == n - kinds("exact"))
+    // near-dup clustering: every exact AND near doc must join its family
+    // head's cluster (survivor = min id = the head); uniq docs survive alone
+    val clusters = Dedup.minhashDedup(c, "id", "text", 0.8)
+    val joined = c.join(clusters, "id")
+    assert(joined.filter(col("kind").isin("exact", "near"))
+      .filter(col("keep_id") =!= expr("id div 4") * 4).count() == 0,
+      "every planted dup must resolve to its family head")
+    assert(joined.filter(col("kind") === "uniq")
+      .filter(col("keep_id") =!= col("id")).count() == 0,
+      "unique docs must survive as their own cluster")
+    val survivors = clusters.filter(col("id") === col("keep_id")).count()
+    assert(survivors == n / 4 + kinds("uniq"), s"survivors $survivors")
+    // the chain's tail is shard-shuffle stable across parallelism (the
+    // endurance run pins this at 1M docs via the printed checksum)
+    val keep = c.join(clusters.filter(col("id") === col("keep_id")), Seq("id"))
+    assert(Sampling.shardShuffle(keep, "id", 16, "bd1").count() == survivors)
+    c.unpersist()
+  }
+
   test("shardShuffle: a seeded permutation — balanced shards, contiguous pos, invariant") {
     import graft.textops.Sampling
     val n = docs.count()
