@@ -356,6 +356,30 @@ object SparkEntry {
         e.unionByName(planted), "vec_id", "v", cents, 0.999)
     }),
 
+    // incremental dedup: a new batch against accumulated corpus state —
+    // (new x state) + (new x lower-id new) candidates only, state never
+    // re-paired against itself. Increment = exact copies of state docs
+    // (dropped via new-x-state), salted unique docs (survive; their words
+    // appear nowhere in state so cross-jaccard is 0), and second copies of
+    // ten salted docs at higher ids (dropped via new-x-lower-new). The
+    // oracle re-derives the same greedy drop rule with exact all-pairs
+    // jaccard over the reconstructed increment.
+    "dd8_incremental_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val salted = concat_ws(" ",
+        concat(lit("ua"), col("doc_id")), concat(lit("ub"), col("doc_id")),
+        concat(lit("uc"), col("doc_id")), concat(lit("ud"), col("doc_id")),
+        concat(lit("ue"), col("doc_id")))
+      val copies = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val fresh = d.filter(col("doc_id") >= 30 && col("doc_id") < 70)
+        .select((col("doc_id") + 100000L).as("doc_id"), salted.as("text"))
+      val freshDup = d.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+        .select((col("doc_id") + 200000L).as("doc_id"), salted.as("text"))
+      graft.textops.Dedup.minhashIncrement(
+        copies.unionByName(fresh).unionByName(freshDup), d, "doc_id", "text", 0.8)
+    }),
+
     // ---- training-data pipeline: similarity search ----
 
     "ann1_brute_topk" -> ((s, dir) => {
@@ -949,6 +973,33 @@ object SparkEntry {
         |           sqrt(list_inner_product(b.v, b.v))), 6) >= 0.999)
         |SELECT vec_id, cell FROM asg
         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
+
+    "dd8_incremental_dedup" ->
+      """WITH inc AS (
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    'ua'||doc_id||' ub'||doc_id||' uc'||doc_id||' ud'||doc_id||' ue'||doc_id
+        |  FROM documents WHERE doc_id >= 30 AND doc_id < 70
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    'ua'||doc_id||' ub'||doc_id||' uc'||doc_id||' ud'||doc_id||' ue'||doc_id
+        |  FROM documents WHERE doc_id >= 30 AND doc_id < 40),
+        |shn AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM inc)),
+        |sho AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |alls AS (SELECT doc_id, s, TRUE AS is_new FROM shn
+        |         UNION ALL SELECT doc_id, s, FALSE FROM sho),
+        |drp AS (SELECT DISTINCT n.doc_id
+        |        FROM shn n JOIN alls e
+        |          ON (NOT e.is_new OR e.doc_id < n.doc_id) AND e.doc_id <> n.doc_id
+        |        WHERE CAST(len(list_intersect(n.s, e.s)) AS DOUBLE) /
+        |              len(list_distinct(list_concat(n.s, e.s))) >= 0.8)
+        |SELECT doc_id, text FROM inc
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drp)""".stripMargin,
 
     "ann4_quant_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -138,19 +138,32 @@ object MinHashBlocking {
     }
   }
 
-  def candidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
-                     threshold: Double, k: Int = 0, extraKey: Seq[String] = Nil,
-                     maxBucket: Int = 10000,
-                     pairBudget: Long = Long.MaxValue): DataFrame = {
+  /**
+   * Exploded band-key index rows (`_band`, `_id`, `_sh`) for a shingled
+   * input — the blocking-side state of every minhash family. Persisting this
+   * (bucketed by `_band`) is what makes INCREMENTAL dedup O(increment):
+   * a new batch joins its own index rows against the stored state index,
+   * never re-banding or re-pairing the accumulated corpus
+   * ([[graft.textops.Dedup.minhashIncrementAgainstIndex]]).
+   */
+  def bandedIndex(df: DataFrame, idCol: String, shinglesCol: String,
+                  threshold: Double, k: Int = 0,
+                  extraKey: Seq[String] = Nil): DataFrame = {
     val rowsPerBand = 2
     val bands = if (k > 0) math.max(1, k / rowsPerBand)
                 else numBands(threshold, rowsPerBand)
-    val withBands = df
-      .withColumn("_bh", shingleBaseHashes(col(shinglesCol)))
+    df.withColumn("_bh", shingleBaseHashes(col(shinglesCol)))
       .withColumn("_sig", minhashSignatureFromHashes(col("_bh"), bands * rowsPerBand))
       .withColumn("_band", explode(bandKeys(col("_sig"), bands, rowsPerBand,
         extraKey.map(col): _*)))
       .select(col("_band"), col(idCol).as("_id"), col(shinglesCol).as("_sh"))
+  }
+
+  def candidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
+                     threshold: Double, k: Int = 0, extraKey: Seq[String] = Nil,
+                     maxBucket: Int = 10000,
+                     pairBudget: Long = Long.MaxValue): DataFrame = {
+    val withBands = bandedIndex(df, idCol, shinglesCol, threshold, k, extraKey)
 
     // drop pathological buckets entirely ([[capBuckets]] — a band bucket
     // with >maxBucket members is a degenerate stop-shingle cluster; its

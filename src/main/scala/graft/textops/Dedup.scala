@@ -228,6 +228,82 @@ object Dedup {
   }
 
   /**
+   * Incremental near-dup dedup: a NEW batch of documents against the
+   * accumulated corpus STATE, never re-pairing state against itself — the
+   * shape every continuously-ingesting 100 TB pipeline actually runs
+   * (full-corpus re-dedup per arrival is O((state+increment)^2) work for an
+   * O(increment * state) question).
+   *
+   * `stateIndex` is the persisted banding state: the (`_band`, `_id`, `_sh`)
+   * rows of [[graft.link.MinHashBlocking.bandedIndex]] over previously-KEPT
+   * documents, written once and extended append-only (store it bucketed by
+   * `_band` so this join is co-located). Candidates are (new x state) band
+   * collisions plus the (new x new) self-join; state x state pairs are never
+   * generated. Each candidate is exact-Jaccard verified (the LSH is a
+   * filter, not the decision).
+   *
+   * Drop rule (greedy, pairwise-dominated — same deterministic posture as
+   * [[semanticDedup]]): a new document is dropped when it verifies at
+   * `threshold` against ANY state document or ANY lower-id new document,
+   * whether or not that lower-id document itself survives. Deterministic
+   * and engine-portable; chain-merging semantics belong to
+   * [[minhashDedup]]'s connected-components path.
+   *
+   * Returns the SURVIVING increment rows (all input columns). Append the
+   * survivors' [[graft.link.MinHashBlocking.bandedIndex]] rows to the state
+   * index afterwards to advance the state.
+   */
+  def minhashIncrementAgainstIndex(increment: DataFrame, stateIndex: DataFrame,
+                                   idCol: String, textCol: String,
+                                   threshold: Double = 0.8, shingleWords: Int = 3,
+                                   maxBucket: Int = 10000,
+                                   pairBudget: Long = Long.MaxValue): DataFrame = {
+    val incShingled = increment.select(col(idCol),
+      wordShingles(col(textCol), shingleWords).as("_shingles"))
+    val incIdx = MinHashBlocking.bandedIndex(incShingled, idCol, "_shingles", threshold)
+    // one capped build side: state rows (flagged old) + increment rows —
+    // capping the UNION keyed by band is the same degenerate-bucket guard
+    // candidatePairs applies, and it bounds both candidate classes at once
+    val build = MinHashBlocking.capBuckets(
+      stateIndex.withColumn("_new", lit(false))
+        .unionByName(incIdx.withColumn("_new", lit(true))),
+      Seq("_band"), maxBucket, pairBudget)
+    val probe = build.filter(col("_new"))
+      .select(col("_band"), col("_id").as("id_new"), col("_sh").as("_sh_n"),
+        size(col("_sh")).as("_n_n"))
+    val existing = build.select(col("_band"), col("_id").as("id_old"),
+      col("_sh").as("_sh_o"), size(col("_sh")).as("_n_o"), col("_new").as("_old_is_new"))
+    // keep (new, state) in either id order, plus (new, LOWER-id new) —
+    // state x state never pairs
+    val dropped = probe.join(existing, Seq("_band"))
+      .filter(!col("_old_is_new") || col("id_old") < col("id_new"))
+      .filter(col("id_new") =!= col("id_old"))
+      // lossless size-ratio prune, then verify — scalars only past this point
+      .filter(least(col("_n_n"), col("_n_o")).cast("double") >=
+        lit(threshold) * greatest(col("_n_n"), col("_n_o")).cast("double"))
+      .withColumn("_inter", size(array_intersect(col("_sh_n"), col("_sh_o"))))
+      .filter(col("_inter").cast("double") /
+        (col("_n_n") + col("_n_o") - col("_inter")).cast("double") >= threshold)
+      .select(col("id_new")).distinct()
+    increment.join(dropped, increment(idCol) === dropped("id_new"), "left_anti")
+  }
+
+  /** One-shot form of [[minhashIncrementAgainstIndex]]: bands `state` on the
+    * fly. Correct but O(state) per call — production pipelines persist the
+    * index once and pass it directly. */
+  def minhashIncrement(increment: DataFrame, state: DataFrame,
+                       idCol: String, textCol: String,
+                       threshold: Double = 0.8, shingleWords: Int = 3,
+                       maxBucket: Int = 10000,
+                       pairBudget: Long = Long.MaxValue): DataFrame = {
+    val stShingled = state.select(col(idCol),
+      wordShingles(col(textCol), shingleWords).as("_shingles"))
+    minhashIncrementAgainstIndex(increment,
+      MinHashBlocking.bandedIndex(stShingled, idCol, "_shingles", threshold),
+      idCol, textCol, threshold, shingleWords, maxBucket, pairBudget)
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
    * Data-efficient learning at web-scale through semantic deduplication"):
    * cluster the embedding space coarsely, then prune near-duplicates

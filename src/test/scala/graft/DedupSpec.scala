@@ -26,6 +26,35 @@ class DedupSpec extends SparkSpec {
       s"missed=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }
 
+  test("incremental dedup: drops vs state and lower-id new, keeps fresh; " +
+      "index form == one-shot form; state never self-pairs") {
+    val state = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // state dup of 1 — must NOT affect increment
+      (3L, "completely different words live in this document here now")
+    ).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // dup of state -> dropped
+      (11L, "fresh unique alpha beta gamma delta epsilon zeta eta theta"), // survives
+      (12L, "fresh unique alpha beta gamma delta epsilon zeta eta theta"), // dup of lower-id new 11 -> dropped
+      (13L, "another novel salted wording nothing shares these tokens at all") // survives
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.minhashIncrement(inc, state, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(11L, 13L))
+    // precomputed-index form is value-equal (the production path: the state
+    // index is persisted bucketed by _band, O(increment) per arrival)
+    val stIdx = graft.link.MinHashBlocking.bandedIndex(
+      state.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("_sh")),
+      "doc_id", "_sh", 0.8)
+    val viaIdx = Dedup.minhashIncrementAgainstIndex(inc, stIdx, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIdx == survivors)
+    // greedy rule: 12 is dropped even though its match 11 survives; and the
+    // state-internal dup (1,2) never surfaces anywhere in the output
+    assert(!survivors.contains(12L) && !survivors.contains(10L))
+  }
+
   test("minhash dedup clusters: survivors = docs minus merged dups") {
     val mapping = Dedup.minhashDedup(docs, "doc_id", "text", 0.8)
     val n = docs.count()
