@@ -132,10 +132,65 @@ object ProbeLab {
     spark.stop()
   }
 
+  /** `runMain graft.ProbeLab jaccard`: where does dd4's trial-to-trial CPU
+    * variance (16 s .. 195 s across rounds on an identical plan census)
+    * come from? Hypothesis: in the fused scan→generate→broadcast-join
+    * pipeline the STREAM side's expensive interpreted `wordShingles` chain
+    * is a deferred codegen variable, so slow trials re-evaluate it per
+    * candidate PAIR (~80 matches/row) instead of once per row. Variants:
+    * `deferred` = the shipped formulation; `checkpointed` = shingled table
+    * materialized (localCheckpoint) before the self-join, making per-row
+    * evaluation structural; `hashed` = shingles xxhash64'd to longs row-side
+    * (cheap re-eval AND cheap intersect). Run on the REAL sf0.1 documents. */
+  private def jaccardCost(): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("probe-jaccard")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .withColumn("_bkt", floor(length(col("text")) / 8))
+      .withColumn("_blk", explode(array(
+        concat_ws("_", col("lang"), col("_bkt")),
+        concat_ws("_", col("lang"), col("_bkt") + 1))))
+      .cache()
+    docs.count()
+    def shingled = docs.select(col("_blk"), col("doc_id"),
+      graft.textops.Dedup.wordShingles(col("text"), 3).as("_sh"))
+    def pairsFrom(withSh: org.apache.spark.sql.DataFrame) = {
+      val a = withSh.select(col("_blk"), col("doc_id").as("id_a"),
+        col("_sh").as("_sh_a"), size(col("_sh")).as("_n_a"))
+      val b = withSh.select(col("_blk"), col("doc_id").as("id_b"),
+        col("_sh").as("_sh_b"), size(col("_sh")).as("_n_b"))
+      a.join(b, Seq("_blk")).filter(col("id_a") < col("id_b"))
+        .filter(least(col("_n_a"), col("_n_b")).cast("double") >=
+          lit(0.5) * greatest(col("_n_a"), col("_n_b")).cast("double"))
+        .withColumn("_inter", size(array_intersect(col("_sh_a"), col("_sh_b"))))
+        .withColumn("jaccard", col("_inter").cast("double") /
+          (col("_n_a") + col("_n_b") - col("_inter")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard").dropDuplicates("id_a", "id_b")
+    }
+    val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "deferred" -> (() => pairsFrom(shingled)),
+      "checkpointed" -> (() => pairsFrom(shingled.localCheckpoint())),
+      "hashed" -> (() => pairsFrom(shingled.withColumn("_sh",
+        transform(col("_sh"), s => xxhash64(s))))))
+    for ((name, f) <- variants; trial <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val n = f().count()
+      println(f"[lab] jaccard $name%-13s trial=$trial pairs=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("simhash")) { simhashCost(); return }
     if (args.headOption.contains("veccodegen")) { vecCodegenCost(); return }
     if (args.headOption.contains("quant")) { quantCost(); return }
+    if (args.headOption.contains("jaccard")) { jaccardCost(); return }
     val rows = 4000000L
     for (threads <- Seq(1, 4, 8)) {
       val spark = SparkSession.builder().master(s"local[$threads]")

@@ -504,6 +504,16 @@ object SparkEntry {
     // Corpus side: scan -> explode grams -> BROADCAST join -> tiny agg;
     // zero corpus shuffles.
 
+    // sliding context-window chunking (chunk=12 words, stride=8 -> 4-word
+    // overlap): the RAG / long-doc pretraining splitter. Pure projection +
+    // explode, zero shuffle; the window rule (final window always reaches
+    // the last token, none starts past it) is closed-form, so the oracle
+    // recomputes every chunk boundary and text verbatim.
+    "sm7_chunks" -> ((s, dir) => graft.textops.Packing
+      .chunkWords(tbl(s, dir, "documents"), "doc_id", "text", 12, 8)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("n_tokens").cast("long").as("n_tokens"), col("chunk_text"))),
+
     "dc1_decontaminate" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       graft.textops.Decontaminate.overlapReport(
@@ -1196,6 +1206,22 @@ object SparkEntry {
         |      ('0x' || substr(md5('sh1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
         |    ORDER BY md5('sh1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
         |FROM documents""".stripMargin,
+
+    "sm7_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |m AS (SELECT doc_id, ws, len(ws) AS n,
+        |        CASE WHEN len(ws) = 0 THEN 0
+        |             ELSE 1 + greatest(0, CAST(ceil((len(ws) - 12) / 8.0) AS INT))
+        |        END AS nch
+        |      FROM d),
+        |c AS (SELECT doc_id, ws, n, unnest(range(0, nch)) AS chunk_idx
+        |      FROM m WHERE nch > 0)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(least(12, n - chunk_idx * 8) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[chunk_idx*8+1 : chunk_idx*8+12], ' ') AS chunk_text
+        |FROM c""".stripMargin,
 
     "dc1_decontaminate" ->
       """WITH d AS (SELECT doc_id,

@@ -145,6 +145,15 @@ object MinHashBlocking {
    * a new batch joins its own index rows against the stored state index,
    * never re-banding or re-pairing the accumulated corpus
    * ([[graft.textops.Dedup.minhashIncrementAgainstIndex]]).
+   *
+   * `_sh` carries the 64-bit BASE-HASHED shingles (array<long>), not the
+   * strings: Jaccard over distinct hashed shingles equals string Jaccard
+   * up to xxhash64 collisions (~n²/2⁶⁵ — fractions of one expected
+   * collision even at 10^10 distinct shingles), the join/broadcast payload
+   * shrinks ~3x (8-byte longs vs ~25-char strings), and the verify
+   * intersect runs on longs instead of re-hashing strings per pair —
+   * measured 2x on the sf0.1 fixture and far more stable under a polluted
+   * JIT profile (`bench_artifacts/probelab_jaccard_r5.txt`).
    */
   def bandedIndex(df: DataFrame, idCol: String, shinglesCol: String,
                   threshold: Double, k: Int = 0,
@@ -156,7 +165,7 @@ object MinHashBlocking {
       .withColumn("_sig", minhashSignatureFromHashes(col("_bh"), bands * rowsPerBand))
       .withColumn("_band", explode(bandKeys(col("_sig"), bands, rowsPerBand,
         extraKey.map(col): _*)))
-      .select(col("_band"), col(idCol).as("_id"), col(shinglesCol).as("_sh"))
+      .select(col("_band"), col(idCol).as("_id"), col("_bh").as("_sh"))
   }
 
   def candidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
@@ -179,6 +188,8 @@ object MinHashBlocking {
     // in several bands recomputes a deterministic jaccard — cheaper than
     // shuffling the arrays. |A∪B| = |A|+|B|-|A∩B| (shingles are distinct),
     // so only the intersection array is materialized, never the union.
+    // The arrays are the base-hashed longs ([[bandedIndex]]): the verify
+    // intersect never touches strings.
     a.join(b, Seq("_band"))
       .filter(col("id_a") < col("id_b"))
       // lossless size-ratio prune before touching the arrays: J(A,B) <=

@@ -148,8 +148,13 @@ object Dedup {
                         blockCol: String, threshold: Double, n: Int = 3,
                         maxBlock: Int = Int.MaxValue,
                         pairBudget: Long = Long.MaxValue): DataFrame = {
+    // verify over 64-bit-hashed distinct shingles (same Jaccard value up to
+    // xxhash64 collisions, ~n²/2⁶⁵): the per-pair intersect runs on longs,
+    // the join payload shrinks ~3x, and the expensive string-shingle chain
+    // is evaluated exactly once per row — measured 2x faster and far less
+    // JIT-profile-sensitive (bench_artifacts/probelab_jaccard_r5.txt)
     val withSh0 = df.select(col(blockCol).as("_blk"), col(idCol),
-      wordShingles(col(textCol), n).as("_sh"))
+      MinHashBlocking.shingleBaseHashes(wordShingles(col(textCol), n)).as("_sh"))
     val withSh =
       if (maxBlock == Int.MaxValue && pairBudget == Long.MaxValue) withSh0
       else MinHashBlocking.capBuckets(withSh0, Seq("_blk"), maxBlock, pairBudget)

@@ -64,4 +64,44 @@ object Packing {
     packed.groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCol.cast("long")).as("pack_tokens"))
+
+  /**
+   * Sliding word-window chunking — the context-window splitter of RAG
+   * indexing and long-document pretraining prep: overlapping windows of
+   * `chunkTokens` whitespace tokens starting every `strideTokens`
+   * (`strideTokens == chunkTokens` = disjoint chunks; smaller = overlap).
+   *
+   * Window rule (the tokenizer `return_overflowing_tokens` convention):
+   * window k starts at k·stride; a document of n tokens yields
+   * `1 + max(0, ceil((n - chunk) / stride))` chunks, so the final window
+   * always reaches the last token and no window starts past it. Empty
+   * documents yield no chunks. Emits `(…, chunk_idx, n_tokens,
+   * chunk_text)`; `n_tokens < chunkTokens` only on a short final window.
+   *
+   * 100 TB shape: a pure per-row projection + Generate (explode) — zero
+   * shuffles, embarrassingly parallel, repartition/retry-invariant by
+   * construction. The output-size multiplier is chunk/stride; callers
+   * control amplification through the stride.
+   */
+  def chunkWords(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens $chunkTokens")
+    require(strideTokens >= 1, s"strideTokens $strideTokens")
+    val ws = filter(split(col(textCol), " +"), w => length(w) > 0)
+    val n = size(ws)
+    val nChunks = when(n === 0, lit(0)).otherwise(
+      lit(1) + greatest(lit(0),
+        ceil((n - lit(chunkTokens)).cast("double") / lit(strideTokens.toDouble))
+          .cast("int")))
+    df.select(col(idCol), ws.as("_ws"), n.as("_n"), nChunks.as("_m"))
+      .filter(col("_m") > 0)
+      .select(col(idCol), col("_ws"), col("_n"),
+        explode(sequence(lit(0), col("_m") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(chunkTokens), col("_n") - col("chunk_idx") * strideTokens)
+          .as("n_tokens"),
+        array_join(slice(col("_ws"),
+          col("chunk_idx") * strideTokens + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
 }

@@ -328,6 +328,48 @@ class DedupSpec extends SparkSpec {
     assert(other.toSet != got.toSet, "seed-sensitive")
   }
 
+  test("chunkWords: window rule matches brute force; disjoint stride reassembles; edges") {
+    import graft.textops.Packing
+    def ref(text: String, chunk: Int, stride: Int): Seq[(Int, Int, String)] = {
+      val ws = text.split(" +").filter(_.nonEmpty)
+      if (ws.isEmpty) Nil
+      else {
+        val m = 1 + math.max(0, math.ceil((ws.length - chunk).toDouble / stride).toInt)
+        (0 until m).map { k =>
+          val sl = ws.slice(k * stride, k * stride + chunk)
+          (k, sl.length, sl.mkString(" "))
+        }
+      }
+    }
+    val texts = Seq(
+      (1L, (1 to 20).map("w" + _).mkString(" ")), // long doc, short tail
+      (2L, (1 to 17).map("t" + _).mkString(" ")), // final token needs its own window
+      (3L, (1 to 16).map("s" + _).mkString(" ")), // exact boundary: no empty extra window
+      (4L, "a b c"),                              // shorter than one chunk
+      (5L, ""),                                   // empty: no chunks
+      (6L, "  x   y  "))                          // multi-space runs
+    val df = texts.toDF("doc_id", "text")
+    for ((chunk, stride) <- Seq((8, 8), (8, 5), (12, 8), (3, 1))) {
+      val got = Packing.chunkWords(df, "doc_id", "text", chunk, stride)
+        .select($"doc_id", $"chunk_idx", $"n_tokens", $"chunk_text")
+        .as[(Long, Int, Int, String)].collect().toSet
+      val want = texts.flatMap { case (id, t) =>
+        ref(t, chunk, stride).map { case (k, n, s) => (id, k, n, s) } }.toSet
+      assert(got == want, s"chunk=$chunk stride=$stride: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+    // stride == chunk: disjoint cover — concatenating chunks rebuilds the doc
+    val rebuilt = Packing.chunkWords(df.filter($"doc_id" === 1L), "doc_id", "text", 8, 8)
+      .orderBy("chunk_idx").select("chunk_text").as[String].collect().mkString(" ")
+    assert(rebuilt == texts.head._2)
+    // every token of every doc is covered by at least one window
+    val covered = Packing.chunkWords(df, "doc_id", "text", 8, 5)
+      .groupBy("doc_id").agg(max($"chunk_idx" * 5 + $"n_tokens").as("reach"))
+      .as[(Long, Int)].collect().toMap
+    texts.filter(_._2.trim.nonEmpty).foreach { case (id, t) =>
+      assert(covered(id) == t.split(" +").count(_.nonEmpty), s"doc $id") }
+  }
+
   test("packDocuments: quota rule matches brute force, repartition-invariant, packs fill") {
     import graft.textops.Packing
     val budget = 200L
