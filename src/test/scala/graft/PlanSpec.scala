@@ -240,6 +240,44 @@ class PlanSpec extends SparkSpec {
       "a global (unpartitioned) window would single-task the corpus at scale")
   }
 
+  test("sm7: chunkWords is a pure projection + Generate — zero Exchange") {
+    val p = plan(SparkEntry.queries("sm7_chunks")(spark, dir))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), "explode of window indices expected")
+  }
+
+  test("dd8: incremental dedup joins state once — no state-side self-join") {
+    // the one-shot form: state is banded once and appears ONLY as the
+    // build/probe complement of the increment — the plan must contain the
+    // candidate join, the cap semi-join machinery, and the final anti-join,
+    // but NO join keyed on a pair of state-only sides (state x state would
+    // add a second scan-backed join of the big input). Census-level pin:
+    // the documents scan feeding the STATE side appears exactly once among
+    // the join inputs (plus once for the increment reconstruction).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val inc = docs.limit(10)
+      .select((org.apache.spark.sql.functions.col("doc_id") + 100000L).as("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val out = graft.textops.Dedup.minhashIncrement(inc, docs, "doc_id", "text", 0.8)
+    val sp = out.queryExecution.sparkPlan
+    val antiJoins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antiJoins.nonEmpty, "survivor anti-join expected")
+    // candidate join keyed on _band appears exactly once (state never
+    // self-pairs: a state x state formulation would need a second one)
+    val bandJoins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+          j.leftKeys.exists(_.toString.contains("_band")) => j
+    }
+    assert(bandJoins.size == 1, s"expected exactly 1 band-keyed candidate join, " +
+      s"got ${bandJoins.size}")
+  }
+
   test("GraftExtensions: spark.sql.extensions registers the native functions") {
     // a derived session over the shared SparkContext, built THROUGH the
     // extensions hook (the spark-submit deployment path). getOrCreate
