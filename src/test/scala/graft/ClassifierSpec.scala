@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.textops.Classifier
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- single-threaded reference trainer: the SAME arithmetic contract
+  // (micro-tf BIGINT features, exact integer dot products, exact BigInt
+  // gradient/preconditioner sums, HALF_UP scalar rounds) on plain maps ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def roundHalfUp(d: Double): Long =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  private def words(t: String): Seq[String] =
+    t.toLowerCase.split(" +").filter(_.nonEmpty).toSeq
+
+  /** (doc features incl. bias, label) in micro units. */
+  private def refFeatures(docs: Seq[(Long, String, Int)])
+  : Seq[(Seq[(String, Long)], Int)] =
+    docs.map { case (_, text, y) =>
+      val ws = words(text)
+      val n = ws.size
+      val f = ws.groupBy(w => md5hex(w).take(2)).toSeq.map { case (b, g) =>
+        (b, roundHalfUp(g.size.toDouble / n * 1e6))
+      }.filter(_._2 > 0)
+      (f :+ (Classifier.BiasBucket, 1000000L), y)
+    }
+
+  private def refTrain(docs: Seq[(Long, String, Int)], iters: Int,
+                       lr: Double): Map[String, Long] = {
+    val feats = refFeatures(docs)
+    var w = Map(Classifier.BiasBucket -> 0L)
+    for (_ <- 1 to iters) {
+      val g = scala.collection.mutable.Map.empty[String, BigInt].withDefaultValue(BigInt(0))
+      val h = scala.collection.mutable.Map.empty[String, BigInt].withDefaultValue(BigInt(0))
+      feats.foreach { case (f, y) =>
+        val z = f.map { case (b, x) => w.getOrElse(b, 0L) * x }.sum
+        val r = roundHalfUp((z - y * 1000000000000L).toDouble / 1e6)
+        f.foreach { case (b, x) =>
+          g(b) += BigInt(r) * BigInt(x); h(b) += BigInt(x) * BigInt(x)
+        }
+      }
+      g.keys.foreach { b =>
+        val d = roundHalfUp(lr * g(b).toDouble / h(b).toDouble * 1e6)
+        w = w.updated(b, w.getOrElse(b, 0L) - d)
+      }
+    }
+    w
+  }
+
+  // ---- fixtures: seeded corpus, label = contains the word "alpha" ----
+
+  private def corpus(nDocs: Int, seed: Long): Seq[(Long, String, Int)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 40).map(i => s"w$i") :+ "alpha"
+    (0 until nDocs).map { d =>
+      val text = Seq.fill(20 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (d.toLong, text, if (text.split(" ").contains("alpha")) 1 else 0)
+    }
+  }
+
+  private def df(c: Seq[(Long, String, Int)]) =
+    c.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+
+  private val fix = corpus(200, 42)
+  private val labelExpr = array_contains(split(col("text"), " "), "alpha")
+
+  test("distributed trainer == single-threaded reference, weight for weight") {
+    val got = Classifier.train(df(fix), "doc_id", "text", labelExpr,
+      iters = 4, lr = 0.0625)
+    val want = refTrain(fix, iters = 4, lr = 0.0625)
+    assert(got == want,
+      s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
+  test("trainer is repartition-invariant (exact-integer aggregation)") {
+    val a = Classifier.train(df(fix), "doc_id", "text", labelExpr, iters = 3)
+    val b = Classifier.train(df(fix).repartition(7), "doc_id", "text", labelExpr, iters = 3)
+    assert(a == b)
+  }
+
+  test("the model learns: accuracy beats the base rate by >= 10 points") {
+    val scored = Classifier.classifyReport(df(fix), "doc_id", "text", labelExpr)
+      .select("doc_id", "pred").as[(Long, Int)].collect().toMap
+    val y = fix.map { case (id, _, l) => id -> l }.toMap
+    val acc = fix.count { case (id, _, l) => scored(id) == l }.toDouble / fix.size
+    val base = math.max(y.values.sum.toDouble / y.size, 1 - y.values.sum.toDouble / y.size)
+    assert(acc >= base + 0.10, s"acc=$acc base=$base")
+  }
+
+  test("all-positive label drives every score above threshold") {
+    val scored = Classifier.classifyReport(df(fix), "doc_id", "text", lit(true))
+      .select("pred").as[Int].collect()
+    assert(scored.forall(_ == 1))
+  }
+
+  test("pred is exactly [score >= 0.5] and score is 6dp-bounded") {
+    val rows = Classifier.classifyReport(df(fix), "doc_id", "text", labelExpr)
+      .select("score", "pred").as[(Double, Int)].collect()
+    rows.foreach { case (s, p) =>
+      // pred thresholds the EXACT pico margin; the 6dp-rounded score can
+      // disagree only within half an ulp of 0.5
+      if ((s - 0.5).abs > 1e-5) assert((p == 1) == (s >= 0.5), s"score=$s pred=$p")
+      assert((s * 1e6).round.toDouble / 1e6 == s)
+    }
+  }
+}
