@@ -203,6 +203,13 @@ object SparkEntry {
         .select(col("subj").as("src"), col("obj").as("dst")),
       iterations = 10, damping = 0.85)),
 
+    // triangle census of the constructed KG: per-node triangle counts +
+    // local clustering coefficient via degree-oriented wedge closure
+    // (the O(m^1.5)-bounded MapReduce algorithm, skew-safe on hubs)
+    "kg10_triangles" -> ((s, dir) => graft.graph.Triangles.perNode(
+      eventsPipeline(s, dir).tripleSet
+        .select(col("subj").as("src"), col("obj").as("dst")))),
+
     // cluster-majority evaluation — the reference's most relational plan
     // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
     // inner/left-outer joins + coalesce, as one DataFrame
@@ -807,6 +814,34 @@ object SparkEntry {
          |$steps
          |SELECT node, round(r, 6) AS rank FROM pr$iters""".stripMargin
     },
+
+    "kg10_triangles" ->
+      s"""$triplesCte,
+         |e AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+         |  FROM triples WHERE subj IS NOT NULL AND obj IS NOT NULL AND subj <> obj),
+         |deg AS MATERIALIZED (SELECT node, count(*) AS degree FROM (
+         |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |o AS MATERIALIZED (SELECT
+         |    CASE WHEN (da.degree < db.degree) OR (da.degree = db.degree AND e.a < e.b)
+         |         THEN e.a ELSE e.b END AS u,
+         |    CASE WHEN (da.degree < db.degree) OR (da.degree = db.degree AND e.a < e.b)
+         |         THEN e.b ELSE e.a END AS v,
+         |    CASE WHEN (da.degree < db.degree) OR (da.degree = db.degree AND e.a < e.b)
+         |         THEN db.degree ELSE da.degree END AS dv
+         |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+         |tri AS MATERIALIZED (SELECT o1.u, o1.v AS x, o2.v AS y
+         |  FROM o o1 JOIN o o2 ON o1.u = o2.u
+         |    AND ((o1.dv < o2.dv) OR (o1.dv = o2.dv AND o1.v < o2.v))
+         |  JOIN o oc ON oc.u = o1.v AND oc.v = o2.v),
+         |cnt AS (SELECT node, count(*) AS triangles FROM (
+         |  SELECT u AS node FROM tri UNION ALL SELECT x FROM tri
+         |  UNION ALL SELECT y FROM tri) GROUP BY 1)
+         |SELECT deg.node, deg.degree,
+         |  CAST(coalesce(cnt.triangles, 0) AS BIGINT) AS triangles,
+         |  CASE WHEN deg.degree >= 2
+         |       THEN round(coalesce(cnt.triangles, 0) * 2.0 / (deg.degree * (deg.degree - 1)), 6)
+         |       ELSE 0.0 END AS clustering
+         |FROM deg LEFT JOIN cnt USING (node)""".stripMargin,
 
     "kg8_untyped_patterns" ->
       """WITH a AS (
