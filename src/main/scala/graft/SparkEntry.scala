@@ -210,6 +210,14 @@ object SparkEntry {
       eventsPipeline(s, dir).tripleSet
         .select(col("subj").as("src"), col("obj").as("dst")))),
 
+    // community detection: 5 rounds of deterministic synchronous label
+    // propagation (plurality label, smallest-label tie-break); the
+    // oracle replays the identical rounds unrolled
+    "kg11_communities" -> ((s, dir) => graft.graph.LabelPropagation.run(
+      eventsPipeline(s, dir).tripleSet
+        .select(col("subj").as("src"), col("obj").as("dst")),
+      rounds = 5)),
+
     // cluster-majority evaluation — the reference's most relational plan
     // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
     // inner/left-outer joins + coalesce, as one DataFrame
@@ -842,6 +850,24 @@ object SparkEntry {
          |       THEN round(coalesce(cnt.triangles, 0) * 2.0 / (deg.degree * (deg.degree - 1)), 6)
          |       ELSE 0.0 END AS clustering
          |FROM deg LEFT JOIN cnt USING (node)""".stripMargin,
+
+    "kg11_communities" -> {
+      val rounds = 5
+      val steps = (1 to rounds).map { k =>
+        s"""l$k AS MATERIALIZED (SELECT v AS node, label FROM (
+           |  SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+           |  FROM (SELECT nbr.v, l.label, count(*) AS c
+           |        FROM nbr JOIN l${k - 1} l ON l.node = nbr.u GROUP BY 1, 2))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$triplesCte,
+         |e AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+         |  FROM triples WHERE subj IS NOT NULL AND obj IS NOT NULL AND subj <> obj),
+         |nbr AS MATERIALIZED (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
+         |l0 AS MATERIALIZED (SELECT v AS node, v AS label FROM (SELECT DISTINCT v FROM nbr)),
+         |$steps
+         |SELECT node, label AS community FROM l$rounds""".stripMargin
+    },
 
     "kg8_untyped_patterns" ->
       """WITH a AS (
