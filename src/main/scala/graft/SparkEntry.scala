@@ -529,6 +529,19 @@ object SparkEntry {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("n_tokens").cast("long").as("n_tokens"), col("chunk_text"))),
 
+    // temperature rebalancing (mT5/XLM-R, alpha=0.5): flatten the language
+    // mix toward the tail — weights sqrt(n) from observed counts, largest
+    // exact-ratio subset, md5-decision-key lineage
+    "sm8_temperature" -> ((s, dir) => graft.textops.Sampling
+      .temperatureSample(tbl(s, dir, "documents"), "lang", "doc_id",
+        seed = "t1")
+      .select(col("doc_id"), col("lang"))),
+
+    // per-language heavy hitters: top-10 words per lang (WindowGroupLimit
+    // partial top-k before the group exchange)
+    "tx6_heavy_hitters" -> ((s, dir) => graft.textops.Vocab
+      .topWordsPerGroup(tbl(s, dir, "documents"), "lang", "text", k = 10)),
+
     "dc1_decontaminate" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       graft.textops.Decontaminate.overlapReport(
@@ -1296,6 +1309,28 @@ object SparkEntry {
         |  CAST(least(12, n - chunk_idx * 8) AS BIGINT) AS n_tokens,
         |  array_to_string(ws[chunk_idx*8+1 : chunk_idx*8+12], ' ') AS chunk_text
         |FROM c""".stripMargin,
+
+    "sm8_temperature" ->
+      """WITH cnt AS MATERIALIZED (SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1),
+        |wt AS MATERIALIZED (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM cnt),
+        |c AS (SELECT min(CAST(n AS DOUBLE) / w) AS c FROM wt),
+        |k AS (SELECT wt.lang, CAST(floor(c.c * wt.w) AS BIGINT) AS k FROM wt, c)
+        |SELECT doc_id, lang FROM (
+        |  SELECT d.doc_id, d.lang, k.k,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(concat('t1', ':', CAST(d.doc_id AS VARCHAR)))) AS rn
+        |  FROM documents d JOIN k USING (lang)) WHERE rn <= k""".stripMargin,
+
+    "tx6_heavy_hitters" ->
+      """WITH t AS (SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS word
+        |  FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT lang, word, count(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, word, n FROM (
+        |  SELECT lang, word, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank
+        |  FROM c) WHERE rank <= 10""".stripMargin,
 
     "dc1_decontaminate" ->
       """WITH d AS (SELECT doc_id,

@@ -162,6 +162,37 @@ object Sampling {
   }
 
   /**
+   * Temperature-scaled group rebalancing — the multilingual-pretraining
+   * recipe (exponentiated sampling in mT5, Xue et al. 2021 §3.1, and
+   * XLM-R, Conneau et al. 2020 §3): resample so group shares follow
+   * p^alpha instead of p (alpha < 1 flattens head languages toward the
+   * tail). This is the deterministic DOWNSAMPLING variant: target
+   * weights w_g = n_g^alpha are derived from the observed counts, and
+   * the result is the LARGEST subset hitting those ratios exactly —
+   * [[mixtureSample]] with data-derived weights, so it inherits the
+   * md5-decision-key lineage contract and the one-exchange
+   * WindowGroupLimit plan.
+   *
+   * Determinism: the default alpha = 0.5 evaluates through sqrt
+   * (correctly rounded in IEEE 754 — bit-portable across engines, which
+   * pow(x, alpha) is not); other alphas go through pow and carry a
+   * last-ulp caveat at floor boundaries. The count table collected to
+   * compute weights is ≤ |groups| rows — tiny by construction.
+   */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(groupCol).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = counts.map { case (g, n) =>
+      g -> (if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha))
+    }
+    if (weights.isEmpty) df.limit(0)
+    else mixtureSample(df, groupCol, weights, idCol, seed)
+  }
+
+  /**
    * Deterministic corpus shuffle + sharding — the final stage of every
    * pretraining data pipeline ("globally shuffle the corpus, write N
    * shards"). Each row gets `shard` in [0, numShards) and `pos`, its

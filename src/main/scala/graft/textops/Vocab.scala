@@ -56,4 +56,31 @@ object Vocab {
             w.rowsBetween(Long.MinValue, 0)).cast("double") / col("_total"), 6)
           .as("cum_frac"))
   }
+
+  /**
+   * Per-group heavy hitters: top `k` words by count WITHIN each group
+   * (language, domain, source shard…) — the per-language stopword /
+   * drift table. Returns (group, rank, word, n); ties break on the word.
+   *
+   * 100 TB shape: one (group, word) partial-agg shuffle (map-side
+   * combine collapses Zipf mass), then a per-group rank-1..k window the
+   * engine plans as WindowGroupLimit — per-partition partial top-k runs
+   * BEFORE the group-keyed exchange, so a group's full vocabulary is
+   * never collected on one task; only ≤ k·partitions candidate rows per
+   * group cross the wire.
+   */
+  def topWordsPerGroup(docs: DataFrame, groupCol: String, textCol: String,
+                       k: Int, normalize: Boolean = true): DataFrame = {
+    require(k >= 1, s"k $k")
+    val text = if (normalize) lower(col(textCol)) else col(textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("n").desc, col("word").asc)
+    docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol), explode(split(text, " +")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col(groupCol), col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("word"), col("n"))
+  }
 }

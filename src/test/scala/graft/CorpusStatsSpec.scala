@@ -73,6 +73,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSeq == Seq("z", "y"))
   }
 
+  test("vocab: per-group heavy hitters rank within each group, null groups dropped") {
+    val d = Seq(
+      ("en", "the the the cat"), ("en", "the dog"),
+      ("de", "der der hund"), (null: String, "ignored words here"))
+      .toDF("lang", "text")
+    val rows = Vocab.topWordsPerGroup(d, "lang", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // en: the=4, cat=1/dog=1 tie -> "cat" wins rank 2; de: der=2, hund=1
+    assert(rows.toSet == Set(
+      ("en", 1L, "the", 4L), ("en", 2L, "cat", 1L),
+      ("de", 1L, "der", 2L), ("de", 2L, "hund", 1L)), rows.toSet)
+  }
+
   test("importance: target-like docs outscore raw-like docs") {
     // target = lang 'en'; its vocabulary is disjoint from the rest, so en
     // tokens map to buckets with positive weight, de tokens negative

@@ -460,6 +460,32 @@ class DedupSpec extends SparkSpec {
       weights + ("ghost" -> 0.1), "id", seed = "m1").count() == 0)
   }
 
+  test("temperatureSample: resulting shares exactly proportional to sqrt(n)") {
+    import graft.textops.Sampling
+    // counts 100/25/4 -> sqrt weights 10/5/2 -> c = min(10, 5, 2) = 2 ->
+    // keep (20, 10, 4): the smallest group binds and keeps everything,
+    // the head flattens from 78% to the ideal sqrt share 59%
+    val rows = (1L to 100L).map((_, "a")) ++ (101L to 125L).map((_, "b")) ++
+      (126L to 129L).map((_, "c"))
+    val df = rows.toDF("id", "g")
+    val got = Sampling.temperatureSample(df, "g", "id", seed = "t9")
+      .select("id", "g").as[(Long, String)].collect()
+    val sizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes == Map("a" -> 20, "b" -> 10, "c" -> 4), sizes)
+    // delegates to mixtureSample with data-derived sqrt weights
+    val viaMixture = Sampling.mixtureSample(df, "g",
+      Map("a" -> 10.0, "b" -> 5.0, "c" -> 2.0), "id", seed = "t9")
+      .select("id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet == viaMixture)
+    // repartition-invariant
+    val re = Sampling.temperatureSample(df.repartition(7, col("id")), "g", "id",
+      seed = "t9").select("id").as[Long].collect().toSet
+    assert(re == got.map(_._1).toSet)
+    // alpha = 1 is a no-op mixture (shares already match p^1)
+    assert(Sampling.temperatureSample(df, "g", "id", alpha = 1.0, seed = "t9")
+      .count() == rows.size.toLong)
+  }
+
   test("weightedSample: A-ES top-k matches brute force, weight-proportional, invariant") {
     import graft.textops.Sampling
     val rows = (1L to 200L).map(i => (i, if (i <= 20) 1000.0 else 1.0))

@@ -109,6 +109,12 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial top-k (WindowGroupLimit); got:\n${pStrat.take(800)}")
   }
 
+  test("tx6: per-group heavy hitters plans as WindowGroupLimit (partial top-k before the exchange)") {
+    val p = plan(SparkEntry.queries("tx6_heavy_hitters")(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"expected map-side partial top-k (WindowGroupLimit); got:\n${p.take(800)}")
+  }
+
   test("shardShuffle: ONE hash exchange on shard, never a global range sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.textops.Sampling.shardShuffle(docs, "doc_id", 8, "sh1"))
