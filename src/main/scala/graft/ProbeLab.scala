@@ -186,11 +186,49 @@ object ProbeLab {
     spark.stop()
   }
 
+  /** `runMain graft.ProbeLab classifier`: the qf3 GD trainer at 1M docs,
+    * local[8] — per-phase walls (feature build+rollup, the 8 damped-Jacobi
+    * iterations, corpus scoring) so the bench-scale "planning-overhead-
+    * dominated" claim and the at-scale per-iteration cost are both
+    * measured, not asserted. The weak label is a seed-keyword rule like
+    * the qf3 query's. */
+  private def classifierCost(): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("probe-classifier")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = spark.range(0, 1000000L, 1, 32)
+      .select(col("id"),
+        concat(lit(words), lit(" doc "),
+          when(pmod(col("id"), lit(3)) === 0, lit("target marker ")).otherwise(lit("")),
+          col("id").cast("string")).as("text"))
+      .cache()
+    docs.count()
+    for (trial <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val w = graft.textops.Classifier.train(docs, "id", "text",
+        col("text").contains("marker"), iters = 8)
+      val t1 = System.nanoTime()
+      val n = graft.textops.Classifier.score(docs, "id", "text", w)
+        .filter(col("pred") === 1).count()
+      val t2 = System.nanoTime()
+      println(f"[lab] classifier trial=$trial train8=${(t1 - t0) / 1e9}%.2f s " +
+        f"(per-iter=${(t1 - t0) / 8e9}%.2f) score=${(t2 - t1) / 1e9}%.2f s pos=$n " +
+        f"docs/s_train=${1000000L * 8 / ((t1 - t0) / 1e9)}%.0f")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("simhash")) { simhashCost(); return }
     if (args.headOption.contains("veccodegen")) { vecCodegenCost(); return }
     if (args.headOption.contains("quant")) { quantCost(); return }
     if (args.headOption.contains("jaccard")) { jaccardCost(); return }
+    if (args.headOption.contains("classifier")) { classifierCost(); return }
     val rows = 4000000L
     for (threads <- Seq(1, 4, 8)) {
       val spark = SparkSession.builder().master(s"local[$threads]")

@@ -390,6 +390,73 @@ object VectorExpressions {
       ExpressionUtils.expression(lit(table))))
   }
 
+  /** Static loop helper for [[BucketDot]]: exact integer dot product of a
+    * sparse bucketed feature row against a dense weight table —
+    * Σ w[bucket_i]·x_i, out-of-range buckets contribute 0. Shared by
+    * interpreted eval and generated code (same no-divergence contract as
+    * the vector helpers above). */
+  def bucketDot(bks: ArrayData, xs: ArrayData, w: Array[Long]): Long = {
+    val n = bks.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b = bks.getInt(i)
+      if (b >= 0 && b < w.length) acc += w(b) * xs.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  /**
+   * Exact sparse-against-dense integer dot product — the per-row margin
+   * of the hashed-feature linear classifier ([[graft.textops.Classifier]]):
+   * `buckets` (array<int>) and `xs` (array<long>) are the doc's parallel
+   * feature arrays, `weights` the dense micro-unit weight table indexed
+   * by bucket. A map-literal `element_at` formulation is a LINEAR SCAN
+   * with string equality per lookup inside an interpreted fold (~3.5e9
+   * string compares per GD iteration at 1M docs, measured 75 s/iter);
+   * this is one fused O(1)-indexed loop per row, whole-stage-codegen'd.
+   */
+  case class BucketDot(left: Expression, right: Expression, weights: Seq[Long])
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def checkInputDataTypes(): TypeCheckResult =
+      firstFailure(
+        left.dataType match {
+          case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName buckets must be array<int>, got ${other.sql}")
+        },
+        right.dataType match {
+          case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName values must be array<bigint>, got ${other.sql}")
+        })
+    @transient private lazy val w: Array[Long] = weights.toArray
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val b = l.asInstanceOf[ArrayData]; val x = r.asInstanceOf[ArrayData]
+      if (b.numElements() != x.numElements()) null else bucketDot(b, x, w)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("weights", w, "long[]")
+      nullSafeCodeGen(ctx, ev, (b, x) => s"""
+        |if ($b.numElements() != $x.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $Helper.bucketDot($b, $x, $wRef);
+        |}""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Column API: exact bucketed-feature dot product against a constant
+    * weight table. */
+  def bucket_dot(buckets: Column, xs: Column, weights: Seq[Long]): Column =
+    ExpressionUtils.column(BucketDot(
+      ExpressionUtils.expression(buckets), ExpressionUtils.expression(xs), weights))
+
   /** Column API: native one-pass Euclidean distance. */
   def l2_dist(a: Column, b: Column): Column =
     ExpressionUtils.column(L2Distance(

@@ -2,6 +2,7 @@ package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftfns.VectorExpressions.bucket_dot
 
 /**
  * Model-based quality / language filtering — the FineWeb-Edu /
@@ -30,21 +31,22 @@ import org.apache.spark.sql.functions._
  *   r_d = round((w·x_d − y_d)/1e-6)                    micro residual.
  *
  * 100 TB shape: one-time feature build = one (doc,bucket) partial-agg
- * shuffle + one per-doc array rollup; each GD iteration is a pure
- * projection (the dot product folds a ≤257-entry broadcast map literal
- * over the doc's feature array) plus ONE bucket-keyed partial-agg
- * shuffle whose exchange carries ≤ B+1 rows per map partition; the
- * weight table (≤ B+1 = 257 rows at the default 2 hex chars) is the
- * only driver collect — the same tiny-by-construction posture as IVF
- * centroids and DSIR weights. Scoring is a zero-shuffle projection.
- * The per-row fold is a higher-order function (interpreted, not
- * codegen'd) — the documented tradeoff vs. an N-row doc-keyed shuffle
- * per iteration, which would be strictly worse at cluster scale.
+ * shuffle + one per-doc parallel-array rollup; each GD iteration is a
+ * pure projection (the margin is the native codegen'd
+ * [[org.apache.spark.sql.graftfns.VectorExpressions.BucketDot]] — one
+ * O(1)-indexed fused loop per row against the broadcast dense weight
+ * table; the map-literal `aggregate` fold it replaced was an
+ * interpreted linear scan measured at 75 s/iteration on 1M docs) plus
+ * ONE bucket-keyed partial-agg shuffle whose exchange carries ≤ B+1
+ * rows per map partition; the weight table (≤ B+1 = 257 longs at the
+ * default 2 hex chars) is the only driver collect — the same
+ * tiny-by-construction posture as IVF centroids and DSIR weights.
+ * Scoring is a zero-shuffle projection over the rolled-up features.
  */
 object Classifier {
 
-  /** Bias pseudo-bucket: constant feature x = 1.0 (1e6 micro). */
-  val BiasBucket = "_bias"
+  /** Dense weight-table size: B hash buckets + 1 bias slot (index B). */
+  def tableSize(hexChars: Int): Int = (1 << (4 * hexChars)) + 1
 
   private def words(textCol: Column): Column =
     filter(split(lower(textCol), " +"), w => length(w) > 0)
@@ -52,15 +54,18 @@ object Classifier {
   /**
    * Long-format micro-tf features: (id, bucket, x) with
    * x = round(c/n · 1e6) for each doc's hashed unigram bucket, plus a
-   * constant `_bias` row per doc (x = 1e6). Buckets are md5-hex
-   * prefixes (portable across engines; B = 16^hexChars).
+   * constant bias row per doc (bucket = B, x = 1e6). Buckets are md5-hex
+   * prefixes read as integers 0..B-1 (the hex string itself stays the
+   * oracle's join key — the int is a bijective recoding).
    */
   def features(docs: DataFrame, idCol: String, textCol: String,
                hexChars: Int = 2): DataFrame = {
     require(hexChars >= 1 && hexChars <= 4, s"hexChars $hexChars")
+    val bias = tableSize(hexChars) - 1
     val n = docs.select(col(idCol), size(words(col(textCol))).cast("long").as("_n"))
     val tf = docs.select(col(idCol), explode(words(col(textCol))).as("_w"))
-      .groupBy(col(idCol), substring(md5(col("_w")), 1, hexChars).as("bucket"))
+      .groupBy(col(idCol),
+        conv(substring(md5(col("_w")), 1, hexChars), 16, 10).cast("int").as("bucket"))
       .agg(count(lit(1)).as("_c"))
       .join(n, Seq(idCol))
       .select(col(idCol), col("bucket"),
@@ -68,71 +73,63 @@ object Classifier {
       .filter(col("x") > 0) // zero-rounded features carry no signal and
                             // would put h=0 rows into the preconditioner
     tf.unionByName(
-      docs.select(col(idCol), lit(BiasBucket).as("bucket"), lit(1000000L).as("x")))
+      docs.select(col(idCol), lit(bias).as("bucket"), lit(1000000L).as("x")))
   }
 
-  /** Exact pico-unit margin z = Σ w(bucket)·x as a pure column fold over
-    * the per-doc feature array (struct<bucket,x>), unseen buckets = 0. */
-  private def marginPico(featsCol: Column, weights: Map[String, Long]): Column = {
-    val m = map(weights.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    aggregate(featsCol, lit(0L),
-      (acc, f) => acc + coalesce(element_at(m, f.getField("bucket")), lit(0L)) * f.getField("x"))
-  }
+  /** Per-doc parallel-array rollup: (id, _bks array<int>, _xs array<long>).
+    * The two collect_lists fill in the same row pass, so positions pair. */
+  private def perDocFeatures(docs: DataFrame, idCol: String, textCol: String,
+                             hexChars: Int): DataFrame =
+    features(docs, idCol, textCol, hexChars)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("bucket")).as("_bks"), collect_list(col("x")).as("_xs"))
 
   /**
-   * Train `iters` Jacobi-preconditioned GD steps from zero weights.
-   * `labelExpr` is the weak 0/1 label column (e.g.
-   * `col("lang") === "en"`). Returns the micro-unit weight map
-   * (bucket → w·1e6), `_bias` included. The gradient Σr·x and the
+   * Train `iters` damped Jacobi-preconditioned GD steps from zero
+   * weights. `labelExpr` is the weak 0/1 label column (e.g. a
+   * seed-keyword rule). Returns the dense micro-unit weight table
+   * (index = bucket, last slot = bias). The gradient Σr·x and the
    * preconditioner Σx² come out of the SAME bucket-keyed partial agg,
    * both as exact DECIMAL(38,0) sums.
    */
   def train(docs: DataFrame, idCol: String, textCol: String, labelExpr: Column,
-            iters: Int = 8, lr: Double = 0.0625, hexChars: Int = 2): Map[String, Long] = {
+            iters: Int = 8, lr: Double = 0.0625, hexChars: Int = 2): Array[Long] = {
     require(iters >= 1, s"iters $iters")
-    val f = features(docs, idCol, textCol, hexChars)
     val lbl = docs.select(col(idCol),
       when(labelExpr, lit(1L)).otherwise(lit(0L)).as("_y"))
-    // per-doc array form: one rollup shuffle, then every iteration is
-    // projection + one bucket-keyed partial agg
-    val perDoc = f.groupBy(col(idCol))
-      .agg(collect_list(struct(col("bucket"), col("x"))).as("_feats"))
+    val perDoc = perDocFeatures(docs, idCol, textCol, hexChars)
       .join(lbl, Seq(idCol))
       .persist()
     perDoc.count()
-    var w = Map(BiasBucket -> 0L)
+    val w = Array.fill(tableSize(hexChars))(0L)
     for (_ <- 1 to iters) {
-      val r = round((marginPico(col("_feats"), w) - col("_y") * lit(1000000000000L))
-        .cast("double") / 1e6, 0).cast("long")
+      val r = round((bucket_dot(col("_bks"), col("_xs"), w.toSeq) -
+        col("_y") * lit(1000000000000L)).cast("double") / 1e6, 0).cast("long")
       val deltas = perDoc
-        .select(r.as("_r"), explode(col("_feats")).as("_f"))
-        .groupBy(col("_f.bucket").as("bucket"))
-        .agg(sum((col("_r") * col("_f.x")).cast("decimal(38,0)")).as("_g"),
-          sum((col("_f.x") * col("_f.x")).cast("decimal(38,0)")).as("_h"))
+        .select(r.as("_r"), explode(arrays_zip(col("_bks"), col("_xs"))).as("_f"))
+        .groupBy(col("_f._bks").as("bucket"))
+        .agg(sum((col("_r") * col("_f._xs")).cast("decimal(38,0)")).as("_g"),
+          sum((col("_f._xs") * col("_f._xs")).cast("decimal(38,0)")).as("_h"))
         .select(col("bucket"),
           round(lit(lr) * col("_g").cast("double") / col("_h").cast("double") * 1e6, 0)
             .cast("long").as("_d"))
         .collect()
-      w = deltas.foldLeft(w) { case (acc, row) =>
-        val b = row.getString(0); val d = row.getLong(1)
-        acc.updated(b, acc.getOrElse(b, 0L) - d)
-      }
+      deltas.foreach { row => w(row.getInt(0)) -= row.getLong(1) }
     }
     perDoc.unpersist()
     w
   }
 
-  /** Score the corpus with a trained weight map: (id, n_tokens, score,
+  /** Score the corpus with a trained weight table: (id, n_tokens, score,
     * pred) with score = round(z, 6) and pred = [z ≥ 0.5]. Zero-shuffle
     * after the feature rollup; with precomputed per-doc features this is
     * a pure projection. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            weights: Map[String, Long], hexChars: Int = 2): DataFrame = {
-    val f = features(docs, idCol, textCol, hexChars)
-    val perDoc = f.groupBy(col(idCol))
-      .agg(collect_list(struct(col("bucket"), col("x"))).as("_feats"))
-    val z = marginPico(col("_feats"), weights)
+            weights: Array[Long], hexChars: Int = 2): DataFrame = {
+    require(weights.length == tableSize(hexChars),
+      s"weight table has ${weights.length} slots, expected ${tableSize(hexChars)}")
+    val perDoc = perDocFeatures(docs, idCol, textCol, hexChars)
+    val z = bucket_dot(col("_bks"), col("_xs"), weights.toSeq)
     docs.select(col(idCol), size(words(col(textCol))).cast("long").as("n_tokens"))
       .join(perDoc, Seq(idCol))
       .select(col(idCol), col("n_tokens"),

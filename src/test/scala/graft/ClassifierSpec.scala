@@ -8,7 +8,9 @@ class ClassifierSpec extends SparkSpec {
 
   // ---- single-threaded reference trainer: the SAME arithmetic contract
   // (micro-tf BIGINT features, exact integer dot products, exact BigInt
-  // gradient/preconditioner sums, HALF_UP scalar rounds) on plain maps ----
+  // gradient/preconditioner sums, HALF_UP scalar rounds) on plain arrays ----
+
+  private val B = Classifier.tableSize(2) - 1 // 256 hash buckets, bias at 256
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -21,36 +23,35 @@ class ClassifierSpec extends SparkSpec {
   private def words(t: String): Seq[String] =
     t.toLowerCase.split(" +").filter(_.nonEmpty).toSeq
 
-  /** (doc features incl. bias, label) in micro units. */
+  /** (doc features incl. bias, label) in micro units; bucket = int. */
   private def refFeatures(docs: Seq[(Long, String, Int)])
-  : Seq[(Seq[(String, Long)], Int)] =
+  : Seq[(Seq[(Int, Long)], Int)] =
     docs.map { case (_, text, y) =>
       val ws = words(text)
       val n = ws.size
-      val f = ws.groupBy(w => md5hex(w).take(2)).toSeq.map { case (b, g) =>
-        (b, roundHalfUp(g.size.toDouble / n * 1e6))
-      }.filter(_._2 > 0)
-      (f :+ (Classifier.BiasBucket, 1000000L), y)
+      val f = ws.groupBy(w => Integer.parseInt(md5hex(w).take(2), 16))
+        .toSeq.map { case (b, g) =>
+          (b, roundHalfUp(g.size.toDouble / n * 1e6))
+        }.filter(_._2 > 0)
+      (f :+ ((B, 1000000L)), y)
     }
 
   private def refTrain(docs: Seq[(Long, String, Int)], iters: Int,
-                       lr: Double): Map[String, Long] = {
+                       lr: Double): Array[Long] = {
     val feats = refFeatures(docs)
-    var w = Map(Classifier.BiasBucket -> 0L)
+    val w = Array.fill(B + 1)(0L)
     for (_ <- 1 to iters) {
-      val g = scala.collection.mutable.Map.empty[String, BigInt].withDefaultValue(BigInt(0))
-      val h = scala.collection.mutable.Map.empty[String, BigInt].withDefaultValue(BigInt(0))
+      val g = Array.fill(B + 1)(BigInt(0))
+      val h = Array.fill(B + 1)(BigInt(0))
       feats.foreach { case (f, y) =>
-        val z = f.map { case (b, x) => w.getOrElse(b, 0L) * x }.sum
+        val z = f.map { case (b, x) => w(b) * x }.sum
         val r = roundHalfUp((z - y * 1000000000000L).toDouble / 1e6)
         f.foreach { case (b, x) =>
           g(b) += BigInt(r) * BigInt(x); h(b) += BigInt(x) * BigInt(x)
         }
       }
-      g.keys.foreach { b =>
-        val d = roundHalfUp(lr * g(b).toDouble / h(b).toDouble * 1e6)
-        w = w.updated(b, w.getOrElse(b, 0L) - d)
-      }
+      for (b <- 0 to B if h(b) != 0)
+        w(b) -= roundHalfUp(lr * g(b).toDouble / h(b).toDouble * 1e6)
     }
     w
   }
@@ -76,14 +77,14 @@ class ClassifierSpec extends SparkSpec {
     val got = Classifier.train(df(fix), "doc_id", "text", labelExpr,
       iters = 4, lr = 0.0625)
     val want = refTrain(fix, iters = 4, lr = 0.0625)
-    assert(got == want,
-      s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    assert(got.toSeq == want.toSeq,
+      s"diff at ${got.indices.filter(i => got(i) != want(i)).take(5)}")
   }
 
   test("trainer is repartition-invariant (exact-integer aggregation)") {
     val a = Classifier.train(df(fix), "doc_id", "text", labelExpr, iters = 3)
     val b = Classifier.train(df(fix).repartition(7), "doc_id", "text", labelExpr, iters = 3)
-    assert(a == b)
+    assert(a.toSeq == b.toSeq)
   }
 
   test("the model learns: accuracy beats the base rate by >= 10 points") {

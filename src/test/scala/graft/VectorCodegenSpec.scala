@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftfns.VectorExpressions
 
 /**
- * Codegen contract for the five native vector expressions: none of them may
+ * Codegen contract for the native vector/classifier expressions: none of them may
  * be `CodegenFallback` (per-row virtual eval + boxing — round-4 VERDICT
  * "What's wrong #1"), the generated path must COMPILE (no silent fallback),
  * and generated results must equal interpreted results bit-for-bit on the
@@ -22,8 +22,37 @@ class VectorCodegenSpec extends SparkSpec {
                   classOf[VectorExpressions.HyperplaneSignature],
                   classOf[VectorExpressions.EuclideanSignature],
                   classOf[VectorExpressions.NearestCentroid],
-                  classOf[VectorExpressions.QuantizeI8]))
+                  classOf[VectorExpressions.QuantizeI8],
+                  classOf[VectorExpressions.BucketDot]))
       assert(!fallback.isAssignableFrom(c), s"${c.getSimpleName} is CodegenFallback")
+  }
+
+  test("bucket_dot: codegen == interpreted == hand-computed, nulls and mismatches null out") {
+    val w = Seq(10L, 20L, 30L, 0L, -5L)
+    val df = Seq(
+      (1L, Seq(0, 2, 4), Seq(100L, 1000L, 7L)),      // 10*100+30*1000+(-5)*7
+      (2L, Seq(1, 99), Seq(5L, 5L)),                  // out-of-range bucket -> 0
+      (3L, Seq.empty[Int], Seq.empty[Long]),          // empty -> 0
+      (4L, Seq(0, 1), Seq(1L)),                       // length mismatch -> null
+      (5L, null.asInstanceOf[Seq[Int]], Seq(1L))      // null -> null
+    ).toDF("id", "bks", "xs")
+    def run = df.select(col("id"),
+      VectorExpressions.bucket_dot(col("bks"), col("xs"), w).as("dot"))
+      .collect().sortBy(_.getLong(0))
+    val conf = spark.conf
+    def withMode[T](mode: String)(f: => T): T = {
+      val m0 = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+      try { conf.set("spark.sql.codegen.factoryMode", mode); f }
+      finally conf.set("spark.sql.codegen.factoryMode", m0)
+    }
+    val gen = withMode("CODEGEN_ONLY")(run)
+    val interp = withMode("NO_CODEGEN")(run)
+    gen.zip(interp).foreach { case (g, i) => assert(g == i, s"$g vs $i") }
+    val byId = gen.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 10L * 100 + 30L * 1000 + (-5L) * 7)
+    assert(byId(2L).getLong(1) == 20L * 5)
+    assert(byId(3L).getLong(1) == 0L)
+    assert(byId(4L).isNullAt(1) && byId(5L).isNullAt(1))
   }
 
   private def allFive(df: org.apache.spark.sql.DataFrame) = {
