@@ -542,6 +542,11 @@ object SparkEntry {
     "tx6_heavy_hitters" -> ((s, dir) => graft.textops.Vocab
       .topWordsPerGroup(tbl(s, dir, "documents"), "lang", "text", k = 10)),
 
+    // per-source corpus telemetry: docs, token volume, exact distinct
+    // tokens, mean doc length (the pipeline-monitoring table)
+    "tx7_telemetry" -> ((s, dir) => graft.textops.TextAnalysis
+      .corpusTelemetry(tbl(s, dir, "documents"), "source", "text")),
+
     "dc1_decontaminate" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       graft.textops.Decontaminate.overlapReport(
@@ -1331,6 +1336,19 @@ object SparkEntry {
         |  SELECT lang, word, n,
         |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank
         |  FROM c) WHERE rank <= 10""".stripMargin,
+
+    "tx7_telemetry" ->
+      """WITH d AS (SELECT source, list_filter(
+        |    string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS ws
+        |  FROM documents WHERE source IS NOT NULL),
+        |v AS (SELECT source, count(*) AS n_docs, CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |u AS (SELECT source, count(DISTINCT w) AS n_distinct_tokens FROM (
+        |  SELECT source, unnest(ws) AS w FROM d) GROUP BY 1)
+        |SELECT v.source, v.n_docs, v.n_tokens,
+        |  CAST(coalesce(u.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+        |  round(CAST(v.n_tokens AS DOUBLE) / v.n_docs, 6) AS avg_doc_tokens
+        |FROM v LEFT JOIN u USING (source)""".stripMargin,
 
     "dc1_decontaminate" ->
       """WITH d AS (SELECT doc_id,

@@ -110,4 +110,36 @@ object TextAnalysis {
       md5(norm).as("fp_content"),
       array_min(transform(sh, s => md5(s))).as("fp_min_shingle"))
   }
+
+  /**
+   * Per-group corpus telemetry — the pipeline-monitoring table every
+   * crawl operation keeps per source/shard/snapshot: doc count, token
+   * volume, EXACT distinct-token count, mean doc length (6dp). Exact
+   * distinct is the oracle-checkable contract; at 10⁹-docs-per-group
+   * scale swap the distinct leg for `approx_count_distinct` (HLL++, one
+   * pass, no second shuffle) — the spec pins the approximation within
+   * its error bound against this exact op on the same input.
+   *
+   * Plan: token volume and doc counts aggregate PER-DOC counts (no
+   * explode — one cheap scan); only the distinct leg pays the
+   * (group, word) explode, and Catalyst plans `countDistinct` as the
+   * standard two-stage partial-distinct aggregate (map-side dedup
+   * before the exchange).
+   */
+  def corpusTelemetry(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val nonNull = df.filter(col(groupCol).isNotNull)
+    val volumes = nonNull
+      .select(col(groupCol), size(filter(ws, w => length(w) > 0)).cast("long").as("_c"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("_c")).cast("long").as("n_tokens"))
+    val distincts = nonNull
+      .select(col(groupCol), explode(filter(ws, w => length(w) > 0)).as("_w"))
+      .groupBy(groupCol)
+      .agg(countDistinct(col("_w")).as("n_distinct_tokens"))
+    volumes.join(distincts, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6).as("avg_doc_tokens"))
+  }
 }

@@ -282,6 +282,24 @@ class AnnAndTextSpec extends SparkSpec {
     assert(got(4L) == ((0.666667, 0.6, 0.5, 0.5)))
   }
 
+  test("telemetry: exact per-group counts; approx distinct agrees within HLL bound") {
+    val d = Seq(("s1", "a b A"), ("s1", "c  d"), ("s2", "x x"),
+      (null: String, "dropped")).toDF("source", "text")
+    val got = TextAnalysis.corpusTelemetry(d, "source", "text")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // s1: 2 docs, 5 tokens (lowercased: a b a c d), 4 distinct, 2.5 avg
+    assert(got == Map("s1" -> ((2L, 5L, 4L, 2.5)), "s2" -> ((1L, 2L, 1L, 2.0))), got)
+    // the documented scale path: HLL++ approx distinct within its bound
+    // (exact at this cardinality) on the same exploded leg
+    val approx = d.filter(col("source").isNotNull)
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), " +"), w => length(w) > 0)).as("w"))
+      .groupBy("source").agg(approx_count_distinct(col("w")).as("ad"))
+      .as[(String, Long)].collect().toMap
+    assert(approx("s1") == 4L && approx("s2") == 1L)
+  }
+
   test("multimodal: stub features deterministic, frames tile the payload exactly") {
     val assets = Multimodal.assets(docs)
     val f1 = Multimodal.extractFeatures(assets).select("asset_id", "features")

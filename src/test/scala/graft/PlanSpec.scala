@@ -115,6 +115,16 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial top-k (WindowGroupLimit); got:\n${p.take(800)}")
   }
 
+  test("qf3: scoring margin is the native bucket_dot expression, not an interpreted fold") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = Array.fill(graft.textops.Classifier.tableSize(2))(1L)
+    val p = plan(graft.textops.Classifier.score(docs, "doc_id", "text", w))
+    assert(p.toLowerCase.contains("bucketdot"),
+      s"expected the native margin expression in the plan:\n${p.take(1000)}")
+    assert(!p.contains("ArrayAggregate"),
+      "the interpreted HOF fold must be gone from the scoring path")
+  }
+
   test("shardShuffle: ONE hash exchange on shard, never a global range sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.textops.Sampling.shardShuffle(docs, "doc_id", 8, "sh1"))
