@@ -322,6 +322,12 @@ object SparkEntry {
       graft.textops.Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "_blk", 0.5)
     }),
 
+    // corpus-wide EXACT Jaccard join, NO blocks: AllPairs prefix filtering
+    // (rare-first global token order), lossless size prune, exact verify.
+    // The oracle brute-forces every pair — any recall loss would hash-fail
+    "dd9_jaccard_join" -> ((s, dir) => graft.textops.Dedup
+      .jaccardJoinExact(tbl(s, dir, "documents"), "doc_id", "text", 0.5)),
+
     // embedding-cosine near-dup via multi-table hyperplane-LSH. Oracle-backed
     // by construction: the corpus is the embeddings plus 1.001-scaled copies
     // of the first 50 vectors — positive scaling preserves every hyperplane
@@ -1035,6 +1041,17 @@ object SparkEntry {
         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    "dd9_jaccard_join" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
 
     "dd6_euclid_pairs" ->

@@ -183,6 +183,73 @@ object Dedup {
   }
 
   /**
+   * EXACT corpus-wide set-similarity join via prefix filtering — the
+   * AllPairs algorithm (Bayardo, Ma & Srikant, WWW 2007; the prefix
+   * lemma underlying PPJoin): every pair of documents whose n-gram
+   * shingle-set Jaccard ≥ `threshold`, with NO blocks and NO
+   * probabilistic recall loss. This closes the documented gap in the
+   * dedup family: [[ngramJaccardPairs]] is exact only within
+   * caller-chosen blocks (audit posture), [[minhashPairs]] is
+   * corpus-wide but probabilistic; this is corpus-wide AND exact.
+   *
+   * Prefix lemma (Jaccard form): J(A,B) ≥ t forces overlap
+   * |A∩B| ≥ ⌈t·|A|⌉ (o(1+t) ≥ t(|A|+|B|) ≥ t(|A|+o) ⇒ o ≥ t|A|), so
+   * under ONE global token order, A's first |A|−⌈t·|A|⌉+1 tokens and
+   * B's first |B|−⌈t·|B|⌉+1 tokens must share a token — only those
+   * prefixes generate candidates. Ordering tokens RAREST-FIRST
+   * (ascending document frequency, ties on the token) puts the
+   * highest-selectivity tokens in every prefix, so candidate volume
+   * tracks the true near-dup count, not n².
+   *
+   * 100 TB shape: one df-count partial agg, one token-keyed join to
+   * attach the global order, one per-doc rollup, a prefix-token-keyed
+   * candidate self-join (the exchange carries only prefix tokens —
+   * ~(1−t) of each doc), a lossless size-ratio prune, and the exact
+   * verify joins. The hot-token skew a naive token join suffers is
+   * structurally bounded: a token appears in a prefix only when a doc
+   * has almost nothing rarer, so frequent tokens mostly vanish from
+   * the candidate key space. Shingles are 64-bit-hashed like the rest
+   * of the family (identical Jaccard up to ~n²/2⁶⁵ collisions).
+   */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold")
+    val sh = df.select(col(idCol).as("id"),
+        MinHashBlocking.shingleBaseHashes(wordShingles(col(textCol), n)).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val toks = sh.select(col("id"), explode(col("_sh")).as("_t"))
+    val dfs = toks.groupBy("_t").agg(count(lit(1)).as("_df"))
+    // per-doc tokens sorted rare-first by the global (df, token) order;
+    // localCheckpoint: reused by the prefix explode and BOTH verify joins
+    val sorted = toks.join(dfs, Seq("_t"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("_df"), col("_t")))).as("_st"))
+      .select(col("id"), transform(col("_st"), s => s.getField("_t")).as("_toks"),
+        size(col("_st")).as("_n"))
+      .localCheckpoint(false)
+    val prefLen = (col("_n") - ceil(lit(threshold) * col("_n")) + 1).cast("int")
+    val pref = sorted.select(col("id"), col("_n"),
+      explode(slice(col("_toks"), lit(1), prefLen)).as("_t"))
+    val cands = pref.select(col("_t"), col("id").as("id_a"), col("_n").as("_n_a"))
+      .join(pref.select(col("_t"), col("id").as("id_b"), col("_n").as("_n_b")), Seq("_t"))
+      .filter(col("id_a") < col("id_b"))
+      // lossless size prune: J <= min/max
+      .filter(least(col("_n_a"), col("_n_b")).cast("double") >=
+        lit(threshold) * greatest(col("_n_a"), col("_n_b")).cast("double"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sorted.select(col("id").as("id_a"), col("_toks").as("_sa"),
+        col("_n").as("_na")), Seq("id_a"))
+      .join(sorted.select(col("id").as("id_b"), col("_toks").as("_sb"),
+        col("_n").as("_nb")), Seq("id_b"))
+      .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (col("_na") + col("_nb") - col("_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs: multi-table hyperplane LSH with
    * 1-bit multiprobe, then exact cosine verify within probed buckets — the
    * same index shape as [[graft.ann.Similarity.lshTopK]] (a single

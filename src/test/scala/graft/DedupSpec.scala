@@ -26,6 +26,31 @@ class DedupSpec extends SparkSpec {
       s"missed=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }
 
+  test("jaccardJoinExact: corpus-wide == all-pairs brute force (single-block audit), invariant") {
+    // the single-block ngramJaccardPairs IS the brute-force all-pairs oracle;
+    // the prefix filter must lose nothing against it at multiple thresholds
+    for (t <- Seq(0.5, 0.8)) {
+      val brute = Dedup.ngramJaccardPairs(docs.withColumn("_one", lit(1)),
+          "doc_id", "text", "_one", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pf = Dedup.jaccardJoinExact(docs, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(brute.nonEmpty, s"fixture has >=$t pairs")
+      assert(pf == brute, s"t=$t missed=${(brute -- pf).take(5)} extra=${(pf -- brute).take(5)}")
+    }
+    val a = Dedup.jaccardJoinExact(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Dedup.jaccardJoinExact(docs.repartition(7), "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+    // planted exact duplicates surface at jaccard 1.0 even at threshold 1.0
+    val base = docs.select("doc_id", "text")
+    val planted = docs.limit(3).select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val ones = Dedup.jaccardJoinExact(base.unionByName(planted), "doc_id", "text", 1.0)
+      .filter(col("id_b") >= 100000L).as[(Long, Long, Double)].collect()
+    assert(ones.length >= 3 && ones.forall(_._3 == 1.0), ones.toSeq.take(5))
+  }
+
   test("incremental dedup: drops vs state and lower-id new, keeps fresh; " +
       "index form == one-shot form; state never self-pairs") {
     val state = Seq(
