@@ -82,6 +82,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Bridge.expression(graft.textops.Sampling.hashSamplePredicate(
         Bridge.column(es(0)), foldDouble(es(1), "hash_sample fraction"),
         foldString(es(2), "hash_sample seed")))))
+    // bucket_dot(bks, xs, array(w0, w1, ...)) -> exact pico margin of the
+    // hashed-feature classifier; the weight table is a plan constant like
+    // nearest_centroid's centroids, so it must be a foldable array literal
+    ext.injectFunction(fn("bucket_dot", 3, es =>
+      VectorExpressions.BucketDot(es(0), es(1), foldLongs(es(2)))))
+  }
+
+  /** Fold a literal array<integral> SQL argument into the dense weight
+    * table a [[VectorExpressions.BucketDot]] plan embeds. */
+  private def foldLongs(e: Expression): Seq[Long] = {
+    require(e.foldable, "bucket_dot weights must be an array literal")
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val get: (ArrayData, Int) => Long = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) => (a, i) => a.getLong(i)
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, _) => (a, i) => a.getInt(i).toLong
+      case other => throw new IllegalArgumentException(
+        s"bucket_dot weights must be array<int|bigint>, got $other")
+    }
+    val arr = e.eval().asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map(i => get(arr, i))
   }
 
   /** Fold a literal array<array<numeric>> SQL argument into the centroid

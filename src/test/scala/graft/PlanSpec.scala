@@ -357,6 +357,20 @@ class PlanSpec extends SparkSpec {
       val r5 = s2.range(1).select(ncCol.as("nc"), hsCol.as("hs")).collect()(0)
       assert(ncRow.getInt(0) == r5.getInt(0), "nearest_centroid parity")
       assert(ncRow.getBoolean(1) == r5.getBoolean(1), "hash_sample parity")
+      // round-5 classifier margin: bucket_dot, SQL == Column, literal-only
+      val bdRow = s2.sql(
+        "SELECT bucket_dot(array(0, 2), array(100L, 7L), array(10L, 0L, -3L)) AS bd")
+        .collect()(0)
+      assert(bdRow.getLong(0) == 10L * 100 + (-3L) * 7, "bucket_dot SQL value")
+      val bdCol = org.apache.spark.sql.graftfns.VectorExpressions
+        .bucket_dot(array(lit(0), lit(2)), array(lit(100L), lit(7L)), Seq(10L, 0L, -3L))
+      assert(s2.range(1).select(bdCol).collect()(0).getLong(0) == bdRow.getLong(0),
+        "bucket_dot parity")
+      val errBd = intercept[Exception] {
+        s2.sql("SELECT bucket_dot(array(0), array(1L), array('x'))").collect()
+      }
+      assert(errBd.getMessage.toLowerCase.contains("weights") ||
+        errBd.getMessage.toLowerCase.contains("array"))
       // wrong-typed arguments fail at ANALYSIS time (checkInputDataTypes),
       // not with a runtime ClassCastException mid-query
       val err = intercept[org.apache.spark.sql.AnalysisException] {
