@@ -553,6 +553,11 @@ object SparkEntry {
     "tx7_telemetry" -> ((s, dir) => graft.textops.TextAnalysis
       .corpusTelemetry(tbl(s, dir, "documents"), "source", "text")),
 
+    // per-language length distribution: exact lower p50/p90 by integer
+    // rank (portable; interpolated percentile conventions are not)
+    "tx8_length_quantiles" -> ((s, dir) => graft.textops.TextAnalysis
+      .lengthQuantiles(tbl(s, dir, "documents"), "lang", "text")),
+
     "dc1_decontaminate" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       graft.textops.Decontaminate.overlapReport(
@@ -1366,6 +1371,20 @@ object SparkEntry {
         |  CAST(coalesce(u.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
         |  round(CAST(v.n_tokens AS DOUBLE) / v.n_docs, 6) AS avg_doc_tokens
         |FROM v LEFT JOIN u USING (source)""".stripMargin,
+
+    "tx8_length_quantiles" ->
+      """WITH c AS (SELECT lang, CAST(len(list_filter(
+        |    string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS BIGINT) AS c
+        |  FROM documents WHERE lang IS NOT NULL),
+        |r AS (SELECT lang, c,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY c) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM c)
+        |SELECT lang, count(*) AS n_docs, min(c) AS min_tokens,
+        |  min(CASE WHEN rn = CAST(floor((cnt - 1) * 0.5) + 1 AS BIGINT) THEN c END) AS p50_tokens,
+        |  min(CASE WHEN rn = CAST(floor((cnt - 1) * 0.9) + 1 AS BIGINT) THEN c END) AS p90_tokens,
+        |  max(c) AS max_tokens
+        |FROM r GROUP BY 1""".stripMargin,
 
     "dc1_decontaminate" ->
       """WITH d AS (SELECT doc_id,

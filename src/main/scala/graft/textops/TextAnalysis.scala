@@ -126,6 +126,38 @@ object TextAnalysis {
    * standard two-stage partial-distinct aggregate (map-side dedup
    * before the exchange).
    */
+  /**
+   * Per-group document-length distribution — the sequence-length planning
+   * table (context-window budgeting, packing efficiency, truncation-loss
+   * estimates all start from "how long are docs per source"): doc count,
+   * min/max, and EXACT lower (type-1) p50/p90 token counts. Order
+   * statistics are picked by integer rank floor((n−1)·q)+1 in the sorted
+   * multiset — deterministic and engine-portable, unlike interpolated
+   * `percentile`/`quantile_cont` whose interpolation conventions differ
+   * across engines.
+   *
+   * Plan: one per-doc count projection (no explode), one group-keyed
+   * rank window + conditional aggregate. Ties among equal counts make
+   * row_number's choice arbitrary but the VALUE at any rank is a
+   * property of the sorted multiset — still deterministic.
+   */
+  def lengthQuantiles(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val counted = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol), size(filter(ws, w => length(w) > 0)).cast("long").as("_c"))
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val ranked = counted
+      .withColumn("_rn", row_number().over(byGroup.orderBy(col("_c"))).cast("long"))
+      .withColumn("_cnt", count(lit(1)).over(byGroup))
+    def rankAt(q: Double) = (floor((col("_cnt") - 1) * q) + 1).cast("long")
+    ranked.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("_c")).as("min_tokens"),
+        min(when(col("_rn") === rankAt(0.5), col("_c"))).as("p50_tokens"),
+        min(when(col("_rn") === rankAt(0.9), col("_c"))).as("p90_tokens"),
+        max(col("_c")).as("max_tokens"))
+  }
+
   def corpusTelemetry(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val ws = words(col(textCol))
     val nonNull = df.filter(col(groupCol).isNotNull)

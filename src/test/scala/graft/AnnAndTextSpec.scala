@@ -300,6 +300,24 @@ class AnnAndTextSpec extends SparkSpec {
     assert(approx("s1") == 4L && approx("s2") == 1L)
   }
 
+  test("lengthQuantiles: exact type-1 order statistics, hand-computed") {
+    // group g: counts sorted = [1,2,3,4,10]; n=5 -> p50 rank floor(4*.5)+1=3
+    // (value 3), p90 rank floor(4*.9)+1=4 (value 4)
+    val d = Seq(("g", "a"), ("g", "a b"), ("g", "a b c"), ("g", "a b c d"),
+      ("g", (1 to 10).map(_ => "w").mkString(" ")),
+      ("h", "only one"), (null: String, "dropped")).toDF("lang", "text")
+    val got = TextAnalysis.lengthQuantiles(d, "lang", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    assert(got == Map("g" -> ((5L, 1L, 3L, 4L, 10L)),
+      "h" -> ((1L, 2L, 2L, 2L, 2L))), got)
+    // repartition-invariant (values are multiset properties)
+    val re = TextAnalysis.lengthQuantiles(d.repartition(5), "lang", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    assert(re == got)
+  }
+
   test("multimodal: stub features deterministic, frames tile the payload exactly") {
     val assets = Multimodal.assets(docs)
     val f1 = Multimodal.extractFeatures(assets).select("asset_id", "features")
