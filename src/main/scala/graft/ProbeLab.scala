@@ -223,7 +223,41 @@ object ProbeLab {
     spark.stop()
   }
 
+  /** `runMain graft.ProbeLab jaccardjoin`: dd9's prefix-filtered EXACT
+    * join at 100k and 400k synthetic Zipf-vocabulary docs (25 tokens,
+    * 1% planted duplicates) — a 4x corpus would cost 16x under the naive
+    * all-pairs join; the wall ratio measures how close prefix filtering
+    * keeps the exact join to linear on a skewed vocabulary. */
+  private def jaccardJoinCost(): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("probe-jaccardjoin")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- Seq(100000L, 400000L)) {
+      val base = spark.range(0, n, 1, 32).select(col("id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(25)), p =>
+          concat(lit("w"), floor(pow(
+            pmod(xxhash64(col("id"), p), lit(1000000L)).cast("double") / 1000000.0,
+            3.0) * 2000).cast("int").cast("string")))).as("text"))
+      val dups = base.filter(pmod(col("id"), lit(100)) === 0)
+        .select((col("id") + n).as("id"), col("text"))
+      val docs = base.unionByName(dups).cache()
+      docs.count()
+      for (trial <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val pairs = graft.textops.Dedup.jaccardJoinExact(docs, "id", "text", 0.8).count()
+        println(f"[lab] jaccardjoin n=$n trial=$trial pairs=$pairs " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("jaccardjoin")) { jaccardJoinCost(); return }
     if (args.headOption.contains("simhash")) { simhashCost(); return }
     if (args.headOption.contains("veccodegen")) { vecCodegenCost(); return }
     if (args.headOption.contains("quant")) { quantCost(); return }
