@@ -218,6 +218,15 @@ object SparkEntry {
         .select(col("subj").as("src"), col("obj").as("dst")),
       rounds = 5)),
 
+    // community quality: Newman-Girvan modularity of the kg11 assignment
+    // (exact integer e_c/d_c/m aggregates; one float chain, 6dp)
+    "kg12_modularity" -> ((s, dir) => {
+      val e = eventsPipeline(s, dir).tripleSet
+        .select(col("subj").as("src"), col("obj").as("dst"))
+      graft.graph.Modularity.perCommunity(e,
+        graft.graph.LabelPropagation.run(e, rounds = 5))
+    }),
+
     // cluster-majority evaluation — the reference's most relational plan
     // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
     // inner/left-outer joins + coalesce, as one DataFrame
@@ -735,6 +744,24 @@ object SparkEntry {
        |         WHEN text LIKE '% reports to %' THEN 'person' ELSE 'city' END AS obj_type
        |  FROM transcripts WHERE text NOT LIKE 'Please%')""".stripMargin
 
+  // shared LPA oracle blocks (kg11 + kg12): undirected simple KG edges,
+  // symmetric neighbor list, identity labels, and the 5 unrolled
+  // synchronous plurality rounds
+  private val lpaCtes =
+    s"""$triplesCte,
+       |e AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+       |  FROM triples WHERE subj IS NOT NULL AND obj IS NOT NULL AND subj <> obj),
+       |nbr AS MATERIALIZED (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
+       |l0 AS MATERIALIZED (SELECT v AS node, v AS label FROM (SELECT DISTINCT v FROM nbr))""".stripMargin
+
+  private val lpaSteps = (1 to 5).map { k =>
+    s"""l$k AS MATERIALIZED (SELECT v AS node, label FROM (
+       |  SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+       |  FROM (SELECT nbr.v, l.label, count(*) AS c
+       |        FROM nbr JOIN l${k - 1} l ON l.node = nbr.u GROUP BY 1, 2))
+       |  WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -880,23 +907,31 @@ object SparkEntry {
          |       ELSE 0.0 END AS clustering
          |FROM deg LEFT JOIN cnt USING (node)""".stripMargin,
 
-    "kg11_communities" -> {
-      val rounds = 5
-      val steps = (1 to rounds).map { k =>
-        s"""l$k AS MATERIALIZED (SELECT v AS node, label FROM (
-           |  SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) AS rn
-           |  FROM (SELECT nbr.v, l.label, count(*) AS c
-           |        FROM nbr JOIN l${k - 1} l ON l.node = nbr.u GROUP BY 1, 2))
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""$triplesCte,
-         |e AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
-         |  FROM triples WHERE subj IS NOT NULL AND obj IS NOT NULL AND subj <> obj),
-         |nbr AS MATERIALIZED (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
-         |l0 AS MATERIALIZED (SELECT v AS node, v AS label FROM (SELECT DISTINCT v FROM nbr)),
-         |$steps
-         |SELECT node, label AS community FROM l$rounds""".stripMargin
-    },
+    "kg11_communities" ->
+      s"""$lpaCtes,
+         |$lpaSteps
+         |SELECT node, label AS community FROM l5""".stripMargin,
+
+    "kg12_modularity" ->
+      s"""$lpaCtes,
+         |$lpaSteps,
+         |mm AS MATERIALIZED (SELECT count(*) AS mv FROM e),
+         |deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |comm AS MATERIALIZED (SELECT node, label AS community FROM l5),
+         |i AS (SELECT ca.community, count(*) AS ec FROM e
+         |  JOIN comm ca ON ca.node = e.a JOIN comm cb ON cb.node = e.b
+         |  WHERE ca.community = cb.community GROUP BY 1),
+         |byc AS (SELECT community, count(*) AS n_nodes,
+         |    CAST(sum(deg) AS BIGINT) AS degree_sum
+         |  FROM comm JOIN deg USING (node) GROUP BY 1)
+         |SELECT byc.community, byc.n_nodes,
+         |  CAST(coalesce(i.ec, 0) AS BIGINT) AS internal_edges,
+         |  byc.degree_sum,
+         |  round(CAST(coalesce(i.ec, 0) AS DOUBLE) / (SELECT mv FROM mm) -
+         |    (CAST(byc.degree_sum AS DOUBLE) / ((SELECT mv FROM mm) * 2)) *
+         |    (CAST(byc.degree_sum AS DOUBLE) / ((SELECT mv FROM mm) * 2)), 6) AS modularity
+         |FROM byc LEFT JOIN i USING (community)""".stripMargin,
 
     "kg8_untyped_patterns" ->
       """WITH a AS (
