@@ -552,6 +552,13 @@ object SparkEntry {
         seed = "t1")
       .select(col("doc_id"), col("lang"))),
 
+    // deterministic train/val/test split: hash-range assignment, pure
+    // projection, membership stable under corpus append/delete
+    "sm9_splits" -> ((s, dir) => graft.textops.Sampling
+      .assignSplits(tbl(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "sp1")
+      .select(col("doc_id"), col("split"))),
+
     // per-language heavy hitters: top-10 words per lang (WindowGroupLimit
     // partial top-k before the group exchange)
     "tx6_heavy_hitters" -> ((s, dir) => graft.textops.Vocab
@@ -1383,6 +1390,15 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY d.lang
         |      ORDER BY md5(concat('t1', ':', CAST(d.doc_id AS VARCHAR)))) AS rn
         |  FROM documents d JOIN k USING (lang)) WHERE rn <= k""".stripMargin,
+
+    "sm9_splits" ->
+      """WITH b AS (SELECT
+        |    printf('%08x', CAST(trunc(0.8 / 1.0 * 4294967296.0) AS BIGINT)) || repeat('0', 24) AS b1,
+        |    printf('%08x', CAST(trunc((0.8 / 1.0 + 0.1 / 1.0) * 4294967296.0) AS BIGINT)) || repeat('0', 24) AS b2)
+        |SELECT doc_id,
+        |  CASE WHEN k < b.b1 THEN 'train' WHEN k < b.b2 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, md5(concat('sp1', ':', CAST(doc_id AS VARCHAR))) AS k
+        |      FROM documents), b""".stripMargin,
 
     "tx6_heavy_hitters" ->
       """WITH t AS (SELECT lang, unnest(list_filter(

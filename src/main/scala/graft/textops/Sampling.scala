@@ -193,6 +193,37 @@ object Sampling {
   }
 
   /**
+   * Deterministic train/val/test splitting — every corpus ships with one:
+   * each row is assigned the split whose half-open hash-range contains
+   * its decision key, with ranges laid out in the caller's insertion
+   * order and sized by the (normalized) weights. A pure PROJECTION of
+   * (seed, id) — zero shuffle, pushdown-able when filtered to one split,
+   * repartition/retry/engine-invariant, and membership never changes
+   * when rows are added or removed (the property random splits lose and
+   * the reason eval sets silently contaminate training runs). Fractions
+   * are proportional in expectation (2⁻³² threshold granularity), not
+   * exact-count — exact-count needs a rank (see [[shardShuffle]]); at
+   * corpus scale the distinction is noise, and stability under
+   * append/delete is worth far more.
+   */
+  def assignSplits(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                   seed: String = "graft"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0), s"splits $splits")
+    val total = splits.map(_._2).sum
+    // cumulative upper thresholds in the 2^32 key space; final boundary
+    // pinned to the space's end so rounding never drops the last sliver
+    val uppers = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val bounds = uppers.init.map(u =>
+      f"${math.min((u * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x" + "0" * 24)
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val expr = splits.init.zip(bounds).reverse.foldLeft(
+      lit(splits.last._1): Column) { case (acc, ((name, _), b)) =>
+      when(key < lit(b), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /**
    * Deterministic corpus shuffle + sharding — the final stage of every
    * pretraining data pipeline ("globally shuffle the corpus, write N
    * shards"). Each row gets `shard` in [0, numShards) and `pos`, its

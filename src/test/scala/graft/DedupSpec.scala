@@ -511,6 +511,33 @@ class DedupSpec extends SparkSpec {
       .count() == rows.size.toLong)
   }
 
+  test("assignSplits: partition of the corpus, ~proportional, append-stable") {
+    import graft.textops.Sampling
+    val df = (1L to 4000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.assignSplits(df, "id", splits, seed = "s9")
+      .select("id", "split").as[(Long, String)].collect()
+    // every row gets exactly one split; shares near the weights
+    assert(got.length == 4000 && got.map(_._1).distinct.length == 4000)
+    val share = got.groupBy(_._2).view.mapValues(_.length / 4000.0).toMap
+    assert(math.abs(share("train") - 0.8) < 0.03 &&
+      math.abs(share("val") - 0.1) < 0.02 && math.abs(share("test") - 0.1) < 0.02, share)
+    // append-stability: membership of existing rows never changes when the
+    // corpus grows (the property random splits lose)
+    val grown = Sampling.assignSplits((1L to 8000L).toDF("id"), "id", splits, seed = "s9")
+      .filter(col("id") <= 4000).select("id", "split").as[(Long, String)].collect()
+    assert(grown.toSet == got.toSet)
+    // unnormalized weights are ratios (8:1:1 == 0.8:0.1:0.1)
+    val unnorm = Sampling.assignSplits(df, "id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), seed = "s9")
+      .select("id", "split").as[(Long, String)].collect()
+    assert(unnorm.toSet == got.toSet)
+    // zero-shuffle plan: pure projection
+    val p = Sampling.assignSplits(df, "id", splits, seed = "s9")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(500))
+  }
+
   test("weightedSample: A-ES top-k matches brute force, weight-proportional, invariant") {
     import graft.textops.Sampling
     val rows = (1L to 200L).map(i => (i, if (i <= 20) 1000.0 else 1.0))
