@@ -74,4 +74,78 @@ object TextExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "normalize_text", exprs => NormalizeText(exprs(0)), "built-in")
+
+  // ---- rep_stats: one-pass intra-doc repetition statistics ----
+
+  /**
+   * One pass over a doc's word array → [dup_word_ratio, dup_2gram_ratio,
+   * dup_3gram_ratio, top_word_ratio] (raw doubles; callers round). VALUE
+   * semantics are exactly the composable HOF formulation's
+   * (`1 − distinct/total` with the same short-doc gram edge: a doc
+   * shorter than the gram yields its single truncated gram; an EMPTY
+   * word array yields [NaN, 0, 0, null] like the HOF chain), but the
+   * quadratic interpreted top-word scan (O(distinct·words) string
+   * equality per doc) and the per-gram Catalyst array materializations
+   * become hash-map counting in a tight JVM loop. Static so generated
+   * code calls it directly; parity with the HOF chain is spec-pinned.
+   */
+  def repStats(ws: org.apache.spark.sql.catalyst.util.ArrayData)
+  : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = ws.numElements()
+    if (n == 0)
+      return new GenericArrayData(Array[Any](Double.NaN, 0.0, 0.0, null))
+    val words = new Array[String](n)
+    var i = 0
+    while (i < n) { words(i) = ws.getUTF8String(i).toString; i += 1 }
+    val counts = new java.util.HashMap[String, Integer](n * 2)
+    var top = 0
+    i = 0
+    while (i < n) {
+      val c = counts.merge(words(i), 1, (a: Integer, b: Integer) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    def gramRatio(g: Int): Double = {
+      val last = if (n - g > 0) n - g else 0
+      val total = last + 1
+      val set = new java.util.HashSet[String](total * 2)
+      var j = 0
+      while (j <= last) {
+        val end = if (j + g < n) j + g else n
+        val sb = new java.lang.StringBuilder
+        var k = j
+        while (k < end) { if (k > j) sb.append(' '); sb.append(words(k)); k += 1 }
+        set.add(sb.toString)
+        j += 1
+      }
+      1.0 - set.size.toDouble / total
+    }
+    new GenericArrayData(Array[Any](
+      1.0 - counts.size.toDouble / n, gramRatio(2), gramRatio(3),
+      top.toDouble / n))
+  }
+
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = true)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${other.sql}")
+    }
+    override def nullSafeEval(input: Any): Any =
+      repStats(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.sql.graftfns.TextExpressions.repStats($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Column API: one-pass repetition statistics. */
+  def rep_stats(c: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
 }

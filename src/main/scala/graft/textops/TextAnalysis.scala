@@ -84,6 +84,23 @@ object TextAnalysis {
    * length, never by corpus size.
    */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // native one-pass rep_stats: the HOF formulation below is value-identical
+    // (spec-pinned) but pays a quadratic interpreted top-word scan plus
+    // per-gram Catalyst array materializations — measured as the engine's
+    // GC-noisiest query before the swap
+    val st = org.apache.spark.sql.graftfns.TextExpressions.rep_stats(words(col(textCol)))
+    df.select(col(idCol), st.as("_r"))
+      .select(col(idCol),
+        round(col("_r").getItem(0), 6).as("dup_word_ratio"),
+        round(col("_r").getItem(1), 6).as("dup_2gram_ratio"),
+        round(col("_r").getItem(2), 6).as("dup_3gram_ratio"),
+        round(col("_r").getItem(3), 6).as("top_word_ratio"))
+  }
+
+  /** The composable higher-order-function formulation of
+    * [[repetitionStats]] — kept as the parity oracle for the native
+    * expression (same values, interpreted evaluation). */
+  def repetitionStatsHof(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = words(col(textCol))
     val nW = size(ws)
     def grams(n: Int): Column = transform(

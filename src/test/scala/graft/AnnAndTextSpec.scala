@@ -282,6 +282,22 @@ class AnnAndTextSpec extends SparkSpec {
     assert(got(4L) == ((0.666667, 0.6, 0.5, 0.5)))
   }
 
+  test("repetitionStats: native one-pass == HOF formulation on corpus + edges") {
+    val edges = Seq((9001L, ""), (9002L, "   "), (9003L, "solo"),
+      (9004L, "a a a a"), (9005L, "x y"), (9006L, "p q p q p q r"))
+      .toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(edges)
+    val a = TextAnalysis.repetitionStats(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val b = TextAnalysis.repetitionStatsHof(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(a.keySet == b.keySet)
+    a.keySet.foreach { k =>
+      // NaN != NaN under ==; compare rendered values
+      assert(a(k).map(String.valueOf) == b(k).map(String.valueOf), s"doc $k: ${a(k)} vs ${b(k)}")
+    }
+  }
+
   test("telemetry: exact per-group counts; approx distinct agrees within HLL bound") {
     val d = Seq(("s1", "a b A"), ("s1", "c  d"), ("s2", "x x"),
       (null: String, "dropped")).toDF("source", "text")

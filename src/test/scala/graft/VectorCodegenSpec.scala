@@ -23,7 +23,8 @@ class VectorCodegenSpec extends SparkSpec {
                   classOf[VectorExpressions.EuclideanSignature],
                   classOf[VectorExpressions.NearestCentroid],
                   classOf[VectorExpressions.QuantizeI8],
-                  classOf[VectorExpressions.BucketDot]))
+                  classOf[VectorExpressions.BucketDot],
+                  classOf[org.apache.spark.sql.graftfns.TextExpressions.RepetitionStats]))
       assert(!fallback.isAssignableFrom(c), s"${c.getSimpleName} is CodegenFallback")
   }
 
