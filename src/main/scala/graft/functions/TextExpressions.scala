@@ -148,4 +148,74 @@ object TextExpressions {
   /** Column API: one-pass repetition statistics. */
   def rep_stats(c: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
+
+  // ---- cdc_bounds: content-defined chunk boundaries (gear hash) ----
+
+  /** splitmix64 (Steele et al., public domain) — seeds the gear table
+    * deterministically so every engine/JVM derives identical boundaries. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 256-entry gear table, fixed for the library's lifetime (chunk
+    * boundaries are CONTENT ADDRESSES — changing the table invalidates
+    * every stored chunk hash). */
+  private val Gear: Array[Long] = Array.tabulate(256)(i => splitmix64(i.toLong))
+
+  /**
+   * Gear-hash content-defined chunking (the windowless rolling hash of
+   * LBFS/FastCDC lineage: h ← (h≪1) + G[byte]; the shift expires a
+   * byte's influence after 64 positions, so boundaries re-synchronize
+   * within ≤64 bytes of any edit). Returns the chunk START offsets
+   * (byte positions, first always 0; empty input → empty array). A
+   * position ends a chunk when at least `min` bytes have accumulated
+   * and (h & mask) == 0, or unconditionally at `max` bytes; `mask` has
+   * log2(avg−min) low bits so the expected chunk length is ≈ avg.
+   */
+  def cdcBounds(input: UTF8String, min: Int, avg: Int, max: Int)
+  : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val bytes = input.getBytes
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[Int])
+    var bits = 0
+    while ((1 << (bits + 1)) <= (avg - min).max(1)) bits += 1
+    val mask = (1L << bits) - 1
+    val out = new scala.collection.mutable.ArrayBuffer[Int](n / avg + 2)
+    out += 0
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + Gear(bytes(i) & 0xFF)
+      val len = i - start + 1
+      if (i < n - 1 &&
+          ((len >= min && (h & mask) == 0L) || len >= max)) {
+        out += (i + 1); start = i + 1; h = 0L
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class CdcBounds(child: Expression, min: Int, avg: Int, max: Int)
+      extends UnaryExpression {
+    require(min >= 1 && min < avg && avg < max, s"bad cdc sizes ($min,$avg,$max)")
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      cdcBounds(input.asInstanceOf[UTF8String], min, avg, max)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.sql.graftfns.TextExpressions.cdcBounds($c, $min, $avg, $max)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Column API: content-defined chunk start offsets. */
+  def cdc_bounds(c: Column, min: Int, avg: Int, max: Int): Column =
+    ExpressionUtils.column(CdcBounds(ExpressionUtils.expression(c), min, avg, max))
 }

@@ -104,4 +104,47 @@ object Packing {
           col("chunk_idx") * strideTokens + 1, lit(chunkTokens)), " ")
           .as("chunk_text"))
   }
+
+  /**
+   * Content-defined chunking — the storage-level dedup splitter (LBFS,
+   * Muthitacharoen et al. SOSP 2001; gear hash per FastCDC, Xia et al.
+   * ATC 2016): chunk boundaries are placed where a rolling hash of the
+   * CONTENT hits a mask, so an insertion or deletion shifts only the
+   * chunks within ~64 bytes of the edit and every chunk after it keeps
+   * its identity — exactly what fixed-size chunking loses, and the
+   * property chunk-level dedup across document versions depends on.
+   * Output: (id, chunk_idx, start, len, chunk_hash) with byte-offset
+   * `start`, expected `len` ≈ avg in [min, max] (final chunk may run
+   * short), and `chunk_hash` = xxhash64 of the chunk text for
+   * cross-corpus chunk dedup (groupBy chunk_hash).
+   *
+   * Deterministic: boundaries come from the native codegen'd
+   * [[org.apache.spark.sql.graftfns.TextExpressions.CdcBounds]]
+   * expression over a fixed splitmix64-seeded gear table — a pure
+   * projection + one Generate, zero shuffle, repartition/retry/
+   * engine-invariant. Like BPE training, the rolling-hash recurrence is
+   * not SQL-expressible, so this family is TEST-PINNED against an
+   * independent single-threaded reference instead of a DuckDB oracle.
+   * Note: offsets are byte offsets; the chunk_text slice assumes
+   * 1-byte-per-char content (ASCII) — binary payloads should consume
+   * (start, len) directly.
+   */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                minBytes: Int = 64, avgBytes: Int = 256,
+                maxBytes: Int = 1024): DataFrame = {
+    val b = org.apache.spark.sql.graftfns.TextExpressions
+      .cdc_bounds(col(textCol), minBytes, avgBytes, maxBytes)
+    df.select(col(idCol), col(textCol).as("_t"), b.as("_b"))
+      .filter(size(col("_b")) > 0)
+      .select(col(idCol), col("_t"), col("_b"),
+        posexplode(col("_b")).as(Seq("chunk_idx", "start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start"),
+        (when(col("chunk_idx") + 2 <= size(col("_b")),
+          element_at(col("_b"), col("chunk_idx") + 2))
+          .otherwise(length(col("_t"))) - col("start")).as("len"),
+        col("_t"))
+      .select(col(idCol), col("chunk_idx"), col("start"), col("len"),
+        xxhash64(expr("substring(_t, start + 1, len)")).as("chunk_hash"))
+  }
 }

@@ -24,7 +24,8 @@ class VectorCodegenSpec extends SparkSpec {
                   classOf[VectorExpressions.NearestCentroid],
                   classOf[VectorExpressions.QuantizeI8],
                   classOf[VectorExpressions.BucketDot],
-                  classOf[org.apache.spark.sql.graftfns.TextExpressions.RepetitionStats]))
+                  classOf[org.apache.spark.sql.graftfns.TextExpressions.RepetitionStats],
+                  classOf[org.apache.spark.sql.graftfns.TextExpressions.CdcBounds]))
       assert(!fallback.isAssignableFrom(c), s"${c.getSimpleName} is CodegenFallback")
   }
 
