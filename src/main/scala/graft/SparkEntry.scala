@@ -227,6 +227,29 @@ object SparkEntry {
         graft.graph.LabelPropagation.run(e, rounds = 5))
     }),
 
+    // k-hop neighborhood extraction: minimum forward distance (<= 3) from
+    // the 10 lexicographically-first employment subjects — the
+    // retrieval-time subgraph primitive (user -> org -> city gives real
+    // 2-hop expansion on this fixture); frontier BFS, one equi-join/round
+    "kg13_khop" -> ((s, dir) => {
+      val t = eventsPipeline(s, dir).tripleSet
+      val e = t.filter(col("subj").isNotNull && col("obj").isNotNull)
+        .select(col("subj").as("src"), col("obj").as("dst")).distinct()
+      val seeds = t.filter(col("pred") === "works_at")
+        .select(col("subj").as("node")).distinct().orderBy("node").limit(10)
+      graft.graph.KHop.distances(e, seeds, k = 3)
+    }),
+
+    // PMI-weighted entity co-occurrence within conversations — the second
+    // edge source for KG construction (association edges the predicate
+    // rules have no pattern for); pair fan-out bounded per conversation
+    "kg14_pmi" -> ((s, dir) => {
+      val t = Extraction.triplesRaw(eventsTranscripts(s, dir))
+      val m = t.select(col("conv_id"), col("subj_norm").as("ent"))
+        .unionByName(t.select(col("conv_id"), col("obj_norm").as("ent")))
+      graft.graph.Cooccurrence.pmi(m, "conv_id", "ent")
+    }),
+
     // cluster-majority evaluation — the reference's most relational plan
     // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
     // inner/left-outer joins + coalesce, as one DataFrame
@@ -574,6 +597,14 @@ object SparkEntry {
     "tx8_length_quantiles" -> ((s, dir) => graft.textops.TextAnalysis
       .lengthQuantiles(tbl(s, dir, "documents"), "lang", "text")),
 
+    // per-language distinct-token cardinality via the KMV sketch —
+    // engine-portable (md5 fractions), unlike HLL++ registers, so it gets
+    // a full hash-green instead of rows-only
+    "tx9_kmv_distinct" -> ((s, dir) => graft.textops.Sketches.kmvDistinct(
+      tbl(s, dir, "documents").select(col("lang"),
+        explode(split(lower(col("text")), " +")).as("tok")),
+      Seq("lang"), col("tok"), k = 64)),
+
     "dc1_decontaminate" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       graft.textops.Decontaminate.overlapReport(
@@ -654,6 +685,13 @@ object SparkEntry {
         col("text").contains("spark") && col("text").contains("join") &&
           col("text").contains("hash"))),
 
+    // Gopher-style fixed-threshold rule battery: per-rule verdicts +
+    // conjunction keep flag; bounds tuned to the fixture's word-count
+    // quartiles so every rule discriminates
+    "qf4_gopher" -> ((s, dir) => graft.textops.TextAnalysis.gopherRules(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      minWords = 30, maxWords = 90)),
+
     // BM25 ranked retrieval: three query terms with spread document
     // frequencies; term stats collect (tiny by definition), scoring is a
     // zero-shuffle projection + TakeOrdered
@@ -680,6 +718,28 @@ object SparkEntry {
           (unix_micros(col("ts").cast("timestamp")) -
             unix_micros(col("p_ts").cast("timestamp")))
             .as("usec_since_purchase"))
+    }),
+
+    // range (interval) join: purchases attributed to the click windows
+    // [click_ts, click_ts + 30 min] they fall into — bin-bucketed
+    // point-in-interval join (one equi-join on (user, bin), exact
+    // containment re-check; W = the window length, so each interval is
+    // replicated at most twice)
+    "ev2_range_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val win = 1800000000L // 30 min in micros
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp_ltz")).as("w_start"),
+          (unix_micros(col("ts").cast("timestamp_ltz")) + win).as("w_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp_ltz")).as("p_us"))
+      graft.operators.RangeJoin.pointInInterval(
+          purchases, clicks, Seq("user_id"), "p_us", "w_start", "w_end", win)
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("p_us") - col("w_start")).as("delay_usec"))
     }),
 
     // ---- training-data pipeline: multimodal plumbing (decode STUBBED) ----
@@ -939,6 +999,45 @@ object SparkEntry {
          |    (CAST(byc.degree_sum AS DOUBLE) / ((SELECT mv FROM mm) * 2)) *
          |    (CAST(byc.degree_sum AS DOUBLE) / ((SELECT mv FROM mm) * 2)), 6) AS modularity
          |FROM byc LEFT JOIN i USING (community)""".stripMargin,
+
+    // BFS unrolled to 3 fixed levels (the kg9/kg11 precedent — DuckDB's
+    // recursive CTE mis-evaluates this walk against the windowed
+    // transcripts CTE, returning the first seed only); levels expand
+    // UNPRUNED and min(hops) collapses revisits — same min-distance
+    // semantics as the Spark frontier's visited-set anti-join
+    "kg13_khop" ->
+      s"""$triplesCte,
+         |e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+         |  WHERE subj IS NOT NULL AND obj IS NOT NULL),
+         |seeds AS MATERIALIZED (SELECT DISTINCT subj AS node FROM triples
+         |  WHERE pred = 'works_at' ORDER BY node LIMIT 10),
+         |r1 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e
+         |  JOIN seeds ON e.src = seeds.node),
+         |r2 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e
+         |  JOIN r1 ON e.src = r1.node),
+         |r3 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e
+         |  JOIN r2 ON e.src = r2.node),
+         |lvl AS (SELECT node, 0 AS hops FROM seeds
+         |  UNION ALL SELECT node, 1 FROM r1
+         |  UNION ALL SELECT node, 2 FROM r2
+         |  UNION ALL SELECT node, 3 FROM r3)
+         |SELECT node, CAST(min(hops) AS INT) AS hops FROM lvl GROUP BY 1""".stripMargin,
+
+    "kg14_pmi" ->
+      s"""$triplesCte,
+         |m AS MATERIALIZED (SELECT DISTINCT conv_id, ent FROM (
+         |  SELECT conv_id, subj AS ent FROM triples WHERE subj IS NOT NULL
+         |  UNION ALL SELECT conv_id, obj FROM triples WHERE obj IS NOT NULL)),
+         |n AS (SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS n FROM m),
+         |ec AS MATERIALIZED (SELECT ent, count(*) AS ne FROM m GROUP BY 1),
+         |p AS (SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS n_pairs
+         |  FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.ent < b.ent
+         |  GROUP BY 1, 2)
+         |SELECT p.ent_a, p.ent_b, p.n_pairs,
+         |  round(ln((CAST(p.n_pairs AS DOUBLE) * (SELECT n FROM n)) /
+         |    (CAST(ea.ne AS DOUBLE) * CAST(eb.ne AS DOUBLE))), 6) AS pmi
+         |FROM p JOIN ec ea ON ea.ent = p.ent_a
+         |  JOIN ec eb ON eb.ent = p.ent_b""".stripMargin,
 
     "kg8_untyped_patterns" ->
       """WITH a AS (
@@ -1437,6 +1536,20 @@ object SparkEntry {
         |  max(c) AS max_tokens
         |FROM r GROUP BY 1""".stripMargin,
 
+    // 63 * 2^32 = 270582939648 (exact in double); fraction = (h+1)/2^32
+    "tx9_kmv_distinct" ->
+      """WITH toks AS (SELECT lang, unnest(string_split_regex(lower(text), ' +')) AS tok
+        |  FROM documents),
+        |h AS (SELECT DISTINCT lang,
+        |  CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |  FROM h)
+        |SELECT lang, CAST(max(rn) AS BIGINT) AS n_tracked,
+        |  round(CASE WHEN max(rn) < 64 THEN CAST(max(rn) AS DOUBLE)
+        |    ELSE 270582939648.0 / (max(CASE WHEN rn = 64 THEN h END) + 1) END, 6)
+        |    AS distinct_est
+        |FROM r WHERE rn <= 64 GROUP BY 1""".stripMargin,
+
     "dc1_decontaminate" ->
       """WITH d AS (SELECT doc_id,
         |  string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS w
@@ -1634,6 +1747,25 @@ object SparkEntry {
          |FROM n JOIN zf USING (doc_id)""".stripMargin
     },
 
+    "qf4_gopher" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS w,
+        |  length(text) AS nc FROM documents),
+        |f AS (SELECT doc_id, len(w) AS n_words,
+        |  round(CAST(nc - len(w) + 1 AS DOUBLE) / len(w), 6) AS mean_word_len,
+        |  round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |    / len(w), 6) AS alpha_word_ratio,
+        |  len(list_filter(w, x -> x IN ('the','and','of','to','a','in','is',
+        |    'that','it','for'))) AS stopword_hits
+        |FROM d)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, stopword_hits,
+        |  n_words BETWEEN 30 AND 90 AS ok_words,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+        |  alpha_word_ratio >= 0.8 AS ok_alpha,
+        |  stopword_hits >= 2 AS ok_stopwords,
+        |  (n_words BETWEEN 30 AND 90) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND alpha_word_ratio >= 0.8 AND stopword_hits >= 2 AS keep
+        |FROM f""".stripMargin,
+
     "ir1_bm25" -> {
       // arithmetic written in the SAME order as the Scala expression tree
       // (left-assoc products, (1.2 + 1) not 2.2) so the doubles are
@@ -1679,6 +1811,19 @@ object SparkEntry {
         |  epoch_us(c.ts) - epoch_us(p.p_ts) AS usec_since_purchase
         |FROM clicks c ASOF LEFT JOIN p0 p
         |  ON c.user_id = p.user_id AND c.ts >= p.p_ts""".stripMargin,
+
+    "ev2_range_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS w_start,
+        |         epoch_us(ts) + 1800000000 AS w_end
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, c.click_id,
+        |  p.p_us - c.w_start AS delay_usec
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND p.p_us >= c.w_start AND p.p_us <= c.w_end""".stripMargin,
 
     "mm1_assets" ->
       """SELECT doc_id AS asset_id,

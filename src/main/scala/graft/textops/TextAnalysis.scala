@@ -75,6 +75,46 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style quality RULE BATTERY (Rae et al. 2021, §A1.1 "quality
+   * filtering"): the fixed-threshold document gates — word-count bounds,
+   * mean-word-length bounds, minimum share of words containing an
+   * alphabetic character, minimum stopword evidence — evaluated per doc
+   * with a per-rule verdict and the conjunction as `keep`. Pure per-row
+   * column expressions (zero shuffle, codegen'd); pair with
+   * [[repetitionStats]] thresholds for the repetition half of the paper's
+   * battery. Emitting per-rule booleans (not just the verdict) is the
+   * production posture: rejection-reason histograms are how threshold
+   * drift gets audited at corpus scale.
+   */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaRatio: Double = 0.8,
+                  minStopwordHits: Int = 2): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws)
+    val nChars = length(col(textCol))
+    // same single-space-corpus estimator as qualityFeatures — total
+    // non-separator chars / words
+    val meanLen = round((nChars - nWords + 1).cast("double") / nWords, 6)
+    val alphaRatio = round(
+      size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nWords, 6)
+    val sw = hits(ws, stopwords("en"))
+    df.select(col(idCol),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        alphaRatio.as("alpha_word_ratio"), sw.as("stopword_hits"))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("ok_alpha", col("alpha_word_ratio") >= minAlphaRatio)
+      .withColumn("ok_stopwords", col("stopword_hits") >= minStopwordHits)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_alpha") &&
+          col("ok_stopwords"))
+  }
+
+  /**
    * Intra-document repetition statistics (the Gopher-style repetition
    * filters, word-level): duplicate-word / duplicate-2-gram /
    * duplicate-3-gram fractions and the share of the single most frequent

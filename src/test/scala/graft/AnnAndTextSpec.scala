@@ -265,6 +265,28 @@ class AnnAndTextSpec extends SparkSpec {
     assert(avgDoc > tiny)
   }
 
+  test("gopherRules: each rule gates independently, keep is the conjunction") {
+    val df = Seq(
+      (1L, "the cat and the dog sat in a box for it is that warm"), // all pass
+      (2L, "the of"),                              // too few words
+      (3L, "xxxxxxxxxxxx yyyyyyyyyyyy zzzzzzzzzzzz the of a"), // mean len 7.0 > 5.0
+      (4L, "9 8 7 6 5 4 3 2 1 0 9 8 7 6"),         // no alpha, no stopwords
+      (5L, "zz yy xx ww vv uu tt ss rr qq pp oo")  // alpha ok, 0 stopword hits
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(df, "doc_id", "text",
+        minWords = 3, maxWords = 20, minMeanLen = 1.0, maxMeanLen = 5.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("ok_words"), r.getAs[Boolean]("ok_mean_len"),
+          r.getAs[Boolean]("ok_alpha"), r.getAs[Boolean]("ok_stopwords"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) == ((true, true, true, true, true)))
+    assert(got(2L) == ((false, true, true, true, false)))
+    // doc 3: 6 words, mean len (47-6+1)/6 = 7.0 > 5.0
+    assert(got(3L) == ((true, false, true, true, false)))
+    assert(got(4L) == ((true, true, false, false, false)))
+    assert(got(5L) == ((true, true, true, false, false)))
+  }
+
   test("repetitionStats: hand-computed ratios, degenerate single-word doc") {
     val df = Seq(
       (1L, "a a a b"),            // dup_word 1-2/4, g2 [aa,aa,ab] 1-2/3, g3 dup 0, top 3/4
