@@ -250,6 +250,19 @@ object SparkEntry {
       graft.graph.Cooccurrence.pmi(m, "conv_id", "ent")
     }),
 
+    // triple provenance + temporal scoping: per (subj, pred, obj) the
+    // observation count, conversation spread, and first/last observing
+    // turn — the confidence/recency evidence a production KG carries on
+    // every edge; one partial-agg groupBy over raw extractions
+    "kg15_provenance" -> ((s, dir) =>
+      Extraction.triplesRaw(eventsTranscripts(s, dir))
+        .groupBy(col("subj_norm").as("subj"), col("pred"),
+          col("obj_norm").as("obj"))
+        .agg(count(lit(1)).as("n_observations"),
+          countDistinct(col("conv_id")).as("n_convs"),
+          min(col("turn_idx")).as("first_turn"),
+          max(col("turn_idx")).as("last_turn"))),
+
     // cluster-majority evaluation — the reference's most relational plan
     // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
     // inner/left-outer joins + coalesce, as one DataFrame
@@ -596,6 +609,11 @@ object SparkEntry {
     // rank (portable; interpolated percentile conventions are not)
     "tx8_length_quantiles" -> ((s, dir) => graft.textops.TextAnalysis
       .lengthQuantiles(tbl(s, dir, "documents"), "lang", "text")),
+
+    // per-doc word entropy (CCNet-family gibberish signal) — exact
+    // integer micro-log-unit sum, one float chain at the end
+    "tx10_entropy" -> ((s, dir) => graft.textops.TextAnalysis
+      .wordEntropy(tbl(s, dir, "documents"), "doc_id", "text")),
 
     // per-language distinct-token cardinality via the KMV sketch —
     // engine-portable (md5 fractions), unlike HLL++ registers, so it gets
@@ -1038,6 +1056,15 @@ object SparkEntry {
          |    (CAST(ea.ne AS DOUBLE) * CAST(eb.ne AS DOUBLE))), 6) AS pmi
          |FROM p JOIN ec ea ON ea.ent = p.ent_a
          |  JOIN ec eb ON eb.ent = p.ent_b""".stripMargin,
+
+    "kg15_provenance" ->
+      s"""$triplesCte
+         |SELECT subj, pred, obj, count(*) AS n_observations,
+         |  count(DISTINCT conv_id) AS n_convs,
+         |  CAST(min(turn_idx) AS INT) AS first_turn,
+         |  CAST(max(turn_idx) AS INT) AS last_turn
+         |FROM triples WHERE subj IS NOT NULL AND obj IS NOT NULL
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "kg8_untyped_patterns" ->
       """WITH a AS (
@@ -1535,6 +1562,20 @@ object SparkEntry {
         |  min(CASE WHEN rn = CAST(floor((cnt - 1) * 0.9) + 1 AS BIGINT) THEN c END) AS p90_tokens,
         |  max(c) AS max_tokens
         |FROM r GROUP BY 1""".stripMargin,
+
+    "tx10_entropy" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+        |t AS (SELECT doc_id, c,
+        |    CAST(round(ln(c) * 1e6, 0) AS BIGINT) * c AS t FROM c),
+        |a AS (SELECT doc_id, sum(c) AS n_words, sum(t) AS s FROM t GROUP BY 1)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(CASE WHEN n_words > 1
+        |    THEN ln(n_words) - CAST(s AS DOUBLE) / 1e6 / n_words
+        |    ELSE 0.0 END, 6) AS entropy
+        |FROM a""".stripMargin,
 
     // 63 * 2^32 = 270582939648 (exact in double); fraction = (h+1)/2^32
     "tx9_kmv_distinct" ->

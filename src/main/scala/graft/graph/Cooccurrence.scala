@@ -40,12 +40,16 @@ object Cooccurrence {
       .select(col(contextCol).as("_ctx"), col(entityCol).as("_ent"))
       .filter(col("_ctx").isNotNull && col("_ent").isNotNull)
       .distinct()
-    val m =
+    val guarded =
       if (maxPerContext <= 0) m0
       else m0.join(
         m0.groupBy("_ctx").agg(count(lit(1)).as("_n"))
           .filter(col("_n") <= maxPerContext).select("_ctx"),
         Seq("_ctx"), "left_semi")
+    // consumed four times below (N, entity counts, both self-join sides):
+    // materialize once, cut the upstream extraction lineage — same posture
+    // as ConnectedComponents' per-round cuts
+    val m = guarded.localCheckpoint(false)
 
     val nCtx = m.select("_ctx").distinct().count()
     val entCnt = m.groupBy(col("_ent")).agg(count(lit(1)).as("_ne"))

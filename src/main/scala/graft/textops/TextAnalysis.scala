@@ -75,6 +75,36 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document word-entropy — the CCNet-family "gibberish vs natural
+   * text" quality signal: H = ln(n) − (1/n)·Σ_w c_w·ln(c_w) over the
+   * doc's word multiset (0 for empty/single-word docs, maximal ln(n)
+   * when all words are distinct). Engine-portable by the [[LanguageModel]]
+   * trick: each per-word term `round(ln(c)·1e6)` is an exact BIGINT
+   * micro-log-unit TIMES the exact integer c, so the per-doc sum is
+   * order-independent integer arithmetic and the one float chain at the
+   * end is bit-identical everywhere (a raw double Σ c·ln(c) would be
+   * summation-order-dependent and hash-mismatch).
+   *
+   * Shape: one (doc, word) partial-count exchange + one doc-keyed agg —
+   * both map-side combinable; no corpus-wide state.
+   */
+  def wordEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = filter(words(col(textCol)), w => length(w) > 0)
+    val perWord = df.select(col(idCol), explode(ws).as("_w"))
+      .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_c"))
+    perWord
+      .select(col(idCol),
+        col("_c"),
+        (round(log(col("_c")) * 1e6, 0).cast("long") * col("_c")).as("_t"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_words"), sum(col("_t")).as("_s"))
+      .select(col(idCol), col("n_words"),
+        round(when(col("n_words") > 1,
+            log(col("n_words")) - col("_s").cast("double") / 1e6 / col("n_words"))
+          .otherwise(lit(0.0)), 6).as("entropy"))
+  }
+
+  /**
    * Gopher-style quality RULE BATTERY (Rae et al. 2021, §A1.1 "quality
    * filtering"): the fixed-threshold document gates — word-count bounds,
    * mean-word-length bounds, minimum share of words containing an

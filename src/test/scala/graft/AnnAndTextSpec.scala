@@ -265,6 +265,25 @@ class AnnAndTextSpec extends SparkSpec {
     assert(avgDoc > tiny)
   }
 
+  test("wordEntropy: hand-computed micro-log-unit entropy, edge docs") {
+    val df = Seq(
+      (1L, "a a b"),     // ln3 - 2*round(ln2*1e6)/1e6/3
+      (2L, "x y z"),     // all distinct: ln3
+      (3L, "w w w w"),   // uniform: ln4 - round(ln4*1e6)/1e6 ~ 0 at 6dp
+      (4L, "solo"),      // single word: 0
+      (5L, "")           // zero words: absent from output
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.wordEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, r6(math.log(3) - 1386294.0 / 1e6 / 3))))
+    assert(got(2L) == ((3L, r6(math.log(3)))))
+    assert(got(3L) == ((4L, 0.0)))
+    assert(got(4L) == ((1L, 0.0)))
+    assert(!got.contains(5L))
+  }
+
   test("gopherRules: each rule gates independently, keep is the conjunction") {
     val df = Seq(
       (1L, "the cat and the dog sat in a box for it is that warm"), // all pass
