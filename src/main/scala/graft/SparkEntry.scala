@@ -263,6 +263,15 @@ object SparkEntry {
           min(col("turn_idx")).as("first_turn"),
           max(col("turn_idx")).as("last_turn"))),
 
+    // deterministic filtered negative sampling over the canonical triple
+    // set — the KG-embedding training handoff (TransE corruption regime):
+    // type-compatible candidates from the per-predicate object domain,
+    // md5-rank candidate choice (reproducible across engines/retries),
+    // true triples rejected by one anti-join
+    "kg16_negatives" -> ((s, dir) =>
+      graft.graph.NegativeSampling.corruptObjects(
+        eventsPipeline(s, dir).tripleSet, k = 3)),
+
     // cluster-majority evaluation — the reference's most relational plan
     // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
     // inner/left-outer joins + coalesce, as one DataFrame
@@ -1065,6 +1074,26 @@ object SparkEntry {
          |  CAST(max(turn_idx) AS INT) AS last_turn
          |FROM triples WHERE subj IS NOT NULL AND obj IS NOT NULL
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    "kg16_negatives" ->
+      s"""$triplesCte,
+         |ts AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples
+         |  WHERE subj IS NOT NULL AND obj IS NOT NULL),
+         |dom AS MATERIALIZED (SELECT pred, obj,
+         |    row_number() OVER (PARTITION BY pred ORDER BY obj) - 1 AS rank
+         |  FROM (SELECT DISTINCT pred, obj FROM ts)),
+         |ds AS (SELECT pred, count(*) AS n_dom FROM dom GROUP BY 1),
+         |cand AS (
+         |  SELECT ts.subj, ts.pred, ts.obj, CAST(j AS INT) AS sample_idx,
+         |    CAST(concat('0x', substr(md5(concat_ws('|', ts.subj, ts.pred,
+         |      ts.obj, CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % ds.n_dom AS rank
+         |  FROM ts JOIN ds ON ds.pred = ts.pred
+         |  CROSS JOIN (SELECT unnest(range(3)) AS j))
+         |SELECT c.subj, c.pred, c.obj, c.sample_idx, d.obj AS neg_obj
+         |FROM cand c JOIN dom d ON d.pred = c.pred AND d.rank = c.rank
+         |WHERE d.obj <> c.obj
+         |  AND NOT EXISTS (SELECT 1 FROM ts t2
+         |    WHERE t2.subj = c.subj AND t2.pred = c.pred AND t2.obj = d.obj)""".stripMargin,
 
     "kg8_untyped_patterns" ->
       """WITH a AS (
