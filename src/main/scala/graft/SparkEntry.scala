@@ -272,6 +272,26 @@ object SparkEntry {
       graft.graph.NegativeSampling.corruptObjects(
         eventsPipeline(s, dir).tripleSet, k = 3)),
 
+    // AMIE-style per-predicate functionality report — the schema-quality
+    // signal that drives conflict detection and canonicalization QA
+    // (a functional predicate asserting two objects for one subject is
+    // either a linking error or a temporal conflict)
+    "kg17_functionality" -> ((s, dir) =>
+      graft.graph.RuleMining.functionality(eventsPipeline(s, dir).tripleSet)),
+
+    // inverse-predicate discovery over the triple set augmented with the
+    // materialized inverse edges a production KG carries (manages =
+    // reports_to^-1) — AMIE-lite rule mining; finds the (p, q) pairs whose
+    // edges mirror each other, with support + confidence
+    "kg18_inverse" -> ((s, dir) => {
+      val t = eventsPipeline(s, dir).tripleSet
+      val withInv = t.unionByName(
+        t.filter(col("pred") === "reports_to")
+          .select(col("obj").as("subj"), lit("manages").as("pred"),
+            col("subj").as("obj")))
+      graft.graph.RuleMining.inversePairs(withInv, minSupport = 2L)
+    }),
+
     // cluster-majority evaluation — the reference's most relational plan
     // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
     // inner/left-outer joins + coalesce, as one DataFrame
@@ -1094,6 +1114,38 @@ object SparkEntry {
          |WHERE d.obj <> c.obj
          |  AND NOT EXISTS (SELECT 1 FROM ts t2
          |    WHERE t2.subj = c.subj AND t2.pred = c.pred AND t2.obj = d.obj)""".stripMargin,
+
+    "kg17_functionality" ->
+      s"""$triplesCte,
+         |ts AS (SELECT DISTINCT subj, pred, obj FROM triples
+         |  WHERE subj IS NOT NULL AND obj IS NOT NULL),
+         |ps AS (SELECT pred, subj, count(*) AS n_objs FROM ts GROUP BY 1, 2),
+         |ss AS (SELECT pred, CAST(sum(n_objs) AS BIGINT) AS n_triples,
+         |    count(*) AS n_subjects,
+         |    CAST(sum(CASE WHEN n_objs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_conflicted_subjects
+         |  FROM ps GROUP BY 1),
+         |os AS (SELECT pred, count(DISTINCT obj) AS n_objects FROM ts GROUP BY 1)
+         |SELECT ss.pred, n_triples, n_subjects, n_objects,
+         |  n_conflicted_subjects,
+         |  round(CAST(n_subjects AS DOUBLE) / n_triples, 6) AS functionality,
+         |  round(CAST(n_objects AS DOUBLE) / n_triples, 6) AS inv_functionality
+         |FROM ss JOIN os ON os.pred = ss.pred""".stripMargin,
+
+    "kg18_inverse" ->
+      s"""$triplesCte,
+         |base AS (SELECT DISTINCT subj, pred, obj FROM triples
+         |  WHERE subj IS NOT NULL AND obj IS NOT NULL),
+         |ts AS (SELECT * FROM base
+         |  UNION SELECT obj AS subj, 'manages' AS pred, subj AS obj
+         |        FROM base WHERE pred = 'reports_to'),
+         |sup AS (SELECT l.pred, r.pred AS inv_pred, count(*) AS support
+         |  FROM ts l JOIN ts r ON l.subj = r.obj AND l.obj = r.subj
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tot AS (SELECT pred, count(*) AS n_pred_triples FROM ts GROUP BY 1)
+         |SELECT sup.pred, inv_pred, support, n_pred_triples,
+         |  round(CAST(support AS DOUBLE) / n_pred_triples, 6) AS confidence
+         |FROM sup JOIN tot ON tot.pred = sup.pred""".stripMargin,
 
     "kg8_untyped_patterns" ->
       """WITH a AS (

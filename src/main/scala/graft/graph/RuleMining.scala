@@ -1,0 +1,88 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Schema-quality rule mining over a canonical triple set — the AMIE-lite
+ * slice (Galárraga et al. 2013) a KG-construction pipeline runs right
+ * after materialization: which predicates behave functionally (one object
+ * per subject — the signal that drives conflict detection and
+ * canonicalization QA), and which predicate pairs are inverses of each
+ * other (merge candidates for the edge schema the reference infers per
+ * direction only, cs562_sdpg `Clustering.scala:169`).
+ *
+ * Both ops are pure aggregates over the triple set — no iteration, no
+ * driver state. At 10^12 triples: functionality is two partial-agg
+ * exchanges (the (pred, subj) grain then the pred grain — the second is
+ * #predicates rows, trivially small); inversePairs is ONE self-join of
+ * the distinct triple set on the reversed entity pair (AQE skew-split
+ * applies — a celebrity entity pair is the usual hot key) and a
+ * (pred, pred) agg whose output is bounded by #predicates².
+ */
+object RuleMining {
+
+  /**
+   * Per-predicate functionality report (AMIE definitions):
+   * `functionality`  = #distinct subjects / #distinct (subj, obj) pairs,
+   * `inv_functionality` = #distinct objects / the same — both 1.0 exactly
+   * when the predicate maps each subject to at most one object (resp.
+   * each object to one subject). `n_conflicted_subjects` counts subjects
+   * asserting >1 distinct object — the rows a conflict auditor reads.
+   *
+   * @param triples columns `subj`, `pred`, `obj` (need not be distinct;
+   *                duplicates collapse at the first grain).
+   * @return (pred, n_triples, n_subjects, n_objects,
+   *         n_conflicted_subjects, functionality, inv_functionality) with
+   *         ratios rounded to 6 dp (one float chain, oracle-portable).
+   */
+  def functionality(triples: DataFrame): DataFrame = {
+    val t = triples.select(col("subj"), col("pred"), col("obj"))
+      .filter(col("subj").isNotNull && col("pred").isNotNull && col("obj").isNotNull)
+      .distinct()
+    // (pred, subj) grain first: per-subject fan-out, partial-agg friendly
+    val perSubj = t.groupBy(col("pred"), col("subj"))
+      .agg(count(lit(1)).as("n_objs"))
+    val subjSide = perSubj.groupBy(col("pred")).agg(
+      sum(col("n_objs")).as("n_triples"),
+      count(lit(1)).as("n_subjects"),
+      sum(when(col("n_objs") > 1, 1L).otherwise(0L))
+        .as("n_conflicted_subjects"))
+    val objSide = t.groupBy(col("pred"))
+      .agg(countDistinct(col("obj")).as("n_objects"))
+    subjSide.join(objSide, Seq("pred"))
+      .select(col("pred"), col("n_triples"), col("n_subjects"),
+        col("n_objects"), col("n_conflicted_subjects"),
+        round(col("n_subjects").cast("double") / col("n_triples"), 6)
+          .as("functionality"),
+        round(col("n_objects").cast("double") / col("n_triples"), 6)
+          .as("inv_functionality"))
+  }
+
+  /**
+   * Inverse-predicate discovery: predicate pairs (p, q) where (a, p, b)
+   * and (b, q, a) co-occur — `support` is the count of such entity pairs,
+   * `confidence` = support / #triples(p) (the PCA-free standard
+   * confidence; symmetric predicates show up as p == q).
+   *
+   * @return (pred, inv_pred, support, n_pred_triples, confidence) for
+   *         pairs with support >= minSupport, confidence 6-dp rounded.
+   */
+  def inversePairs(triples: DataFrame, minSupport: Long = 1L): DataFrame = {
+    val t = triples.select(col("subj"), col("pred"), col("obj"))
+      .filter(col("subj").isNotNull && col("pred").isNotNull && col("obj").isNotNull)
+      .distinct()
+    val sup = t.alias("l")
+      .join(t.alias("r"),
+        col("l.subj") === col("r.obj") && col("l.obj") === col("r.subj"))
+      .groupBy(col("l.pred").as("pred"), col("r.pred").as("inv_pred"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val totals = t.groupBy(col("pred")).agg(count(lit(1)).as("n_pred_triples"))
+    sup.join(totals, Seq("pred"))
+      .select(col("pred"), col("inv_pred"), col("support"),
+        col("n_pred_triples"),
+        round(col("support").cast("double") / col("n_pred_triples"), 6)
+          .as("confidence"))
+  }
+}
