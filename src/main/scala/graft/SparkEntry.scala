@@ -292,6 +292,21 @@ object SparkEntry {
       graft.graph.RuleMining.inversePairs(withInv, minSupport = 2L)
     }),
 
+    // temporal conflict resolution — belief revision over the kg15
+    // provenance: functional predicates keep the most recent assertion
+    // (tie-break observation weight, then object), others pass through;
+    // the winner is a partial-aggregable arg-min, not a window
+    "kg19_resolved" -> ((s, dir) => {
+      import s.implicits._
+      val prov = Extraction.triplesRaw(eventsTranscripts(s, dir))
+        .groupBy(col("subj_norm").as("subj"), col("pred"),
+          col("obj_norm").as("obj"))
+        .agg(count(lit(1)).as("n_observations"),
+          max(col("turn_idx")).as("last_turn"))
+      graft.graph.ConflictResolution.resolveMostRecent(prov,
+        Seq("works_at", "lives_in").toDF("pred"))
+    }),
+
     // cluster-majority evaluation — the reference's most relational plan
     // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
     // inner/left-outer joins + coalesce, as one DataFrame
@@ -1146,6 +1161,23 @@ object SparkEntry {
          |SELECT sup.pred, inv_pred, support, n_pred_triples,
          |  round(CAST(support AS DOUBLE) / n_pred_triples, 6) AS confidence
          |FROM sup JOIN tot ON tot.pred = sup.pred""".stripMargin,
+
+    "kg19_resolved" ->
+      s"""$triplesCte,
+         |prov AS (SELECT subj, pred, obj, count(*) AS n_obs,
+         |    max(turn_idx) AS last_turn
+         |  FROM triples WHERE subj IS NOT NULL AND obj IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |res AS (SELECT subj, pred, obj,
+         |    CAST(count(*) OVER (PARTITION BY subj, pred) - 1 AS BIGINT)
+         |      AS n_dropped,
+         |    row_number() OVER (PARTITION BY subj, pred
+         |      ORDER BY last_turn DESC, n_obs DESC, obj) AS rn
+         |  FROM prov WHERE pred IN ('works_at', 'lives_in'))
+         |SELECT subj, pred, obj, n_dropped FROM res WHERE rn = 1
+         |UNION ALL
+         |SELECT subj, pred, obj, CAST(0 AS BIGINT) AS n_dropped
+         |FROM prov WHERE pred NOT IN ('works_at', 'lives_in')""".stripMargin,
 
     "kg8_untyped_patterns" ->
       """WITH a AS (
