@@ -262,6 +262,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), "explode of window indices expected")
   }
 
+  test("kg19: conflict resolution is a partial arg-min agg, never a window") {
+    import spark.implicits._
+    val prov = Seq(("a", "p", "x", 1L, 1), ("a", "p", "y", 2L, 3))
+      .toDF("subj", "pred", "obj", "n_observations", "last_turn")
+    val out = graft.graph.ConflictResolution.resolveMostRecent(
+      prov, Seq("p").toDF("pred"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"),
+      s"expected map-side combine of the arg-min struct:\n$p")
+    assert(!p.contains("Window"),
+      s"winner must not be a window (no WindowExec at 10^12 triples):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "predicate-list semi/anti joins must broadcast")
+  }
+
   test("dd8: incremental dedup joins state once — no state-side self-join") {
     // the one-shot form: state is banded once and appears ONLY as the
     // build/probe complement of the increment — the plan must contain the
