@@ -51,8 +51,12 @@ object NegativeSampling {
    */
   def corruptObjects(triples: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // consumed four times (domain, domain sizes, candidates, the
+    // false-negative anti-join): materialize once, cut the upstream
+    // lineage — the [[Cooccurrence.pmi]] posture
     val t = triples.select(col("subj"), col("pred"), col("obj"))
       .filter(col("subj").isNotNull && col("pred").isNotNull && col("obj").isNotNull)
+      .localCheckpoint(false)
 
     // per-predicate object domain, ranked 0..n_p-1 by value (deterministic);
     // bounded by distinct (pred, obj), so the window is cheap by construction

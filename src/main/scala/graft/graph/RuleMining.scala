@@ -69,9 +69,13 @@ object RuleMining {
    *         pairs with support >= minSupport, confidence 6-dp rounded.
    */
   def inversePairs(triples: DataFrame, minSupport: Long = 1L): DataFrame = {
+    // consumed three times (both self-join sides + totals): materialize
+    // once and cut the upstream lineage — same posture as
+    // [[Cooccurrence.pmi]]; without it each reuse replays the full
+    // upstream pipeline (measured 7.4 s -> the join itself at bench scale)
     val t = triples.select(col("subj"), col("pred"), col("obj"))
       .filter(col("subj").isNotNull && col("pred").isNotNull && col("obj").isNotNull)
-      .distinct()
+      .distinct().localCheckpoint(false)
     val sup = t.alias("l")
       .join(t.alias("r"),
         col("l.subj") === col("r.obj") && col("l.obj") === col("r.subj"))
