@@ -66,6 +66,20 @@ class NegativeSamplingSpec extends SparkSpec {
     }
   }
 
+  test("property: equals the reference on a seeded random triple set") {
+    val rnd = new scala.util.Random(562)
+    val ents = (0 until 40).map(i => s"e$i")
+    val preds = Seq("p0", "p1", "p2")
+    val ts = Seq.fill(200)((ents(rnd.nextInt(ents.size)),
+      preds(rnd.nextInt(preds.size)), ents(rnd.nextInt(ents.size)))).distinct
+    val df = ts.toDF("subj", "pred", "obj")
+    for (k <- Seq(1, 5)) {
+      val got = NegativeSampling.corruptObjects(df, k)
+        .as[(String, String, String, Int, String)].collect().toSet
+      assert(got == reference(ts, k).toSet, s"mismatch at k=$k")
+    }
+  }
+
   test("deterministic and repartition-invariant") {
     val a = NegativeSampling.corruptObjects(triples, k = 3)
       .as[(String, String, String, Int, String)].collect().toSet
