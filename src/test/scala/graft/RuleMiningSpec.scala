@@ -46,6 +46,40 @@ class RuleMiningSpec extends SparkSpec {
       ("married_to", "married_to", 2L, 2L, 1.0)))
   }
 
+  test("property: both miners equal brute force on a seeded random KG") {
+    val rnd = new scala.util.Random(562)
+    val ents = (0 until 25).map(i => s"e$i")
+    val preds = Seq("p0", "p1", "p2", "p3")
+    val ts = Seq.fill(300)((ents(rnd.nextInt(ents.size)),
+      preds(rnd.nextInt(preds.size)), ents(rnd.nextInt(ents.size)))).distinct
+    val df = ts.toDF("subj", "pred", "obj")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val wantFun = ts.groupBy(_._2).map { case (p, rows) =>
+      val nTriples = rows.size.toLong
+      val bySubj = rows.groupBy(_._1)
+      (p, nTriples, bySubj.size.toLong,
+        rows.map(_._3).distinct.size.toLong,
+        bySubj.count(_._2.size > 1).toLong,
+        r6(bySubj.size.toDouble / nTriples),
+        r6(rows.map(_._3).distinct.size.toDouble / nTriples))
+    }.toSet
+    val gotFun = RuleMining.functionality(df)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(gotFun == wantFun)
+
+    val wantInv = (for {
+      (a, p, b) <- ts; (x, q, y) <- ts if x == b && y == a
+    } yield (p, q)).groupBy(identity).map { case ((p, q), hits) =>
+      (p, q, hits.size.toLong, ts.count(_._2 == p).toLong,
+        r6(hits.size.toDouble / ts.count(_._2 == p)))
+    }.filter(_._3 >= 2).toSet
+    val gotInv = RuleMining.inversePairs(df, minSupport = 2L)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(gotInv == wantInv)
+  }
+
   test("minSupport filters; repartition invariance") {
     val t = Seq(
       ("a", "p", "b"), ("b", "q", "a"),
