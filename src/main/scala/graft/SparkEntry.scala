@@ -307,6 +307,18 @@ object SparkEntry {
         Seq("works_at", "lives_in").toDF("pred"))
     }),
 
+    // per-entity serving cards — degree, predicate diversity, dominant
+    // outgoing predicate (arg-min struct, no window), first/last seen in
+    // any slot; the entity-grain rollup a KG front-end reads
+    "kg20_entity_cards" -> ((s, dir) => {
+      val prov = Extraction.triplesRaw(eventsTranscripts(s, dir))
+        .groupBy(col("subj_norm").as("subj"), col("pred"),
+          col("obj_norm").as("obj"))
+        .agg(min(col("turn_idx")).as("first_turn"),
+          max(col("turn_idx")).as("last_turn"))
+      graft.graph.EntityCards.cards(prov)
+    }),
+
     // cluster-majority evaluation — the reference's most relational plan
     // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
     // inner/left-outer joins + coalesce, as one DataFrame
@@ -1178,6 +1190,30 @@ object SparkEntry {
          |UNION ALL
          |SELECT subj, pred, obj, CAST(0 AS BIGINT) AS n_dropped
          |FROM prov WHERE pred NOT IN ('works_at', 'lives_in')""".stripMargin,
+
+    "kg20_entity_cards" ->
+      s"""$triplesCte,
+         |prov AS (SELECT subj, pred, obj, min(turn_idx) AS first_turn,
+         |    max(turn_idx) AS last_turn
+         |  FROM triples WHERE subj IS NOT NULL AND obj IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |seen AS (SELECT entity, CAST(min(first_turn) AS INT) AS first_seen,
+         |    CAST(max(last_turn) AS INT) AS last_seen FROM (
+         |  SELECT subj AS entity, first_turn, last_turn FROM prov
+         |  UNION ALL SELECT obj, first_turn, last_turn FROM prov) GROUP BY 1),
+         |po AS (SELECT subj, pred, count(*) AS n FROM prov GROUP BY 1, 2),
+         |outs AS (SELECT subj AS entity, CAST(sum(n) AS BIGINT) AS n_out,
+         |    count(*) AS n_preds_out FROM po GROUP BY 1),
+         |tops AS (SELECT subj AS entity, pred AS top_pred FROM (
+         |  SELECT subj, pred, row_number() OVER (PARTITION BY subj
+         |    ORDER BY n DESC, pred) AS rn FROM po) WHERE rn = 1),
+         |ins AS (SELECT obj AS entity, count(*) AS n_in FROM prov GROUP BY 1)
+         |SELECT seen.entity, COALESCE(n_out, 0) AS n_out,
+         |  COALESCE(n_in, 0) AS n_in,
+         |  COALESCE(n_preds_out, 0) AS n_preds_out, top_pred,
+         |  first_seen, last_seen
+         |FROM seen LEFT JOIN outs USING (entity)
+         |  LEFT JOIN tops USING (entity) LEFT JOIN ins USING (entity)""".stripMargin,
 
     "kg8_untyped_patterns" ->
       """WITH a AS (
