@@ -319,6 +319,15 @@ object SparkEntry {
       graft.graph.EntityCards.cards(prov)
     }),
 
+    // link prediction over the constructed KG: top-30 non-adjacent pairs
+    // by Adamic-Adar (+ common-neighbor and resource-allocation scores) —
+    // KG completion's neighborhood baseline; witness weights are exact
+    // BIGINT micro-units so the sums replay bit-identically in the oracle
+    "kg21_linkpred" -> ((s, dir) => graft.graph.LinkPrediction.topCandidates(
+      eventsPipeline(s, dir).tripleSet
+        .select(col("subj").as("src"), col("obj").as("dst")),
+      k = 30)),
+
     // cluster-majority evaluation — the reference's most relational plan
     // (ClusteringEvaluation.scala:8-65; SURVEY §3.3): agg + window +
     // inner/left-outer joins + coalesce, as one DataFrame
@@ -1214,6 +1223,27 @@ object SparkEntry {
          |  first_seen, last_seen
          |FROM seen LEFT JOIN outs USING (entity)
          |  LEFT JOIN tops USING (entity) LEFT JOIN ins USING (entity)""".stripMargin,
+
+    "kg21_linkpred" ->
+      s"""$triplesCte,
+         |e AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+         |  FROM triples WHERE subj IS NOT NULL AND obj IS NOT NULL AND subj <> obj),
+         |deg AS MATERIALIZED (SELECT node, count(*) AS degree FROM (
+         |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |w AS MATERIALIZED (SELECT adj.z, adj.n,
+         |    CAST(round(1e6 / ln(deg.degree)) AS BIGINT) AS aa_u,
+         |    CAST(round(1e6 / deg.degree) AS BIGINT) AS ra_u
+         |  FROM (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e) adj
+         |  JOIN deg ON deg.node = adj.z WHERE deg.degree >= 2),
+         |p AS (SELECT w1.n AS a, w2.n AS b, count(*) AS common_neighbors,
+         |    CAST(sum(w1.aa_u) AS BIGINT) AS aa_micro,
+         |    CAST(sum(w1.ra_u) AS BIGINT) AS ra_micro
+         |  FROM w w1 JOIN w w2 ON w1.z = w2.z AND w1.n < w2.n GROUP BY 1, 2)
+         |SELECT a, b, common_neighbors,
+         |  round(aa_micro / 1e6, 6) AS adamic_adar,
+         |  round(ra_micro / 1e6, 6) AS resource_alloc
+         |FROM p WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.a AND e.b = p.b)
+         |ORDER BY aa_micro DESC, a, b LIMIT 30""".stripMargin,
 
     "kg8_untyped_patterns" ->
       """WITH a AS (
