@@ -438,6 +438,17 @@ object SparkEntry {
     "dd9_jaccard_join" -> ((s, dir) => graft.textops.Dedup
       .jaccardJoinExact(tbl(s, dir, "documents"), "doc_id", "text", 0.5)),
 
+    // character-level edit-distance similarity join — the ER grain token
+    // Jaccard misses (typos/aliases); every third customer name loses its
+    // last character so the pair set exercises substitutions AND indels
+    // across length buckets; lossless length blocking + banded verify
+    "dd10_editdist" -> ((s, dir) => graft.textops.EditDistance.similarPairs(
+      tbl(s, dir, "customer").select(col("c_custkey").as("id"),
+        when(pmod(col("c_custkey"), lit(3)) === 0,
+          expr("substring(c_name, 1, length(c_name) - 1)"))
+          .otherwise(col("c_name")).as("name")),
+      "id", "name", maxDist = 1)),
+
     // embedding-cosine near-dup via multi-table hyperplane-LSH. Oracle-backed
     // by construction: the corpus is the embeddings plus 1.001-scaled copies
     // of the first 50 vectors — positive scaling preserves every hyperplane
@@ -1405,6 +1416,18 @@ object SparkEntry {
         |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "dd10_editdist" ->
+      """WITH t AS (SELECT c_custkey AS id,
+        |    CASE WHEN c_custkey % 3 = 0
+        |         THEN substr(c_name, 1, length(c_name) - 1)
+        |         ELSE c_name END AS name
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM t a JOIN t b ON a.id < b.id
+        |WHERE abs(length(a.name) - length(b.name)) <= 1
+        |  AND levenshtein(a.name, b.name) <= 1""".stripMargin,
 
     "dd6_euclid_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
