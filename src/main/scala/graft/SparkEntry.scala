@@ -836,6 +836,12 @@ object SparkEntry {
           (col("p_us") - col("w_start")).as("delay_usec"))
     }),
 
+    // robust per-type outlier detection (Hampel / median-MAD gate) — the
+    // ingest-monitoring alarm a mean/stddev gate misses on heavy tails;
+    // both medians are the exact type-1 rank statistic (tx8 convention)
+    "ev3_outliers" -> ((s, dir) => graft.eval.Outliers.robustOutliers(
+      tbl(s, dir, "events"), "event_id", "event_type", "value", cutoff = 3.0)),
+
     // ---- training-data pipeline: multimodal plumbing (decode STUBBED) ----
 
     "mm1_assets" -> ((s, dir) => graft.multimodal.Multimodal
@@ -2067,6 +2073,24 @@ object SparkEntry {
         |  p.p_us - c.w_start AS delay_usec
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND p.p_us >= c.w_start AND p.p_us <= c.w_end""".stripMargin,
+
+    "ev3_outliers" ->
+      """WITH v AS (SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+        |r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk FROM v),
+        |med AS (SELECT r.event_type, r.value AS med FROM r JOIN n USING (event_type)
+        |  WHERE rk = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1),
+        |d AS (SELECT v.event_id, v.event_type, v.value, med.med,
+        |    abs(v.value - med.med) AS dev FROM v JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk FROM d),
+        |mad AS (SELECT r2.event_type, r2.dev AS mad FROM r2 JOIN n USING (event_type)
+        |  WHERE rk = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1)
+        |SELECT event_id, event_type, value, med, mad,
+        |  CASE WHEN mad > 0 THEN round(dev / mad, 6) END AS robust_z
+        |FROM d JOIN mad USING (event_type) WHERE dev > 3.0 * mad""".stripMargin,
 
     "mm1_assets" ->
       """SELECT doc_id AS asset_id,
