@@ -319,6 +319,17 @@ object SparkEntry {
       graft.graph.EntityCards.cards(prov)
     }),
 
+    // entity-type induction: plurality vote over the typed mention slots
+    // the extraction rules fill (subj of works_at votes person, ...);
+    // purity < 1 is the cross-type-merge alarm for canonicalization —
+    // winner is an arg-min partial aggregate, never a window
+    "kg22_entity_types" -> ((s, dir) => {
+      val t = Extraction.triplesRaw(eventsTranscripts(s, dir))
+      val m = t.select(col("subj_norm").as("entity"), col("subj_type").as("etype"))
+        .unionByName(t.select(col("obj_norm").as("entity"), col("obj_type").as("etype")))
+      graft.graph.EntityTyping.plurality(m, "entity", "etype")
+    }),
+
     // link prediction over the constructed KG: top-30 non-adjacent pairs
     // by Adamic-Adar (+ common-neighbor and resource-allocation scores) —
     // KG completion's neighborhood baseline; witness weights are exact
@@ -437,6 +448,13 @@ object SparkEntry {
     // The oracle brute-forces every pair — any recall loss would hash-fail
     "dd9_jaccard_join" -> ((s, dir) => graft.textops.Dedup
       .jaccardJoinExact(tbl(s, dir, "documents"), "doc_id", "text", 0.5)),
+
+    // asymmetric containment join — the quote-inclusion / subset-duplicate
+    // detector Jaccard is blind to (Broder's containment): a's shingles
+    // mostly inside b; prefix-filtered exactly like dd9 but a-prefix
+    // against b's FULL token index (ordered pairs, both directions)
+    "dd11_containment" -> ((s, dir) => graft.textops.Dedup
+      .containmentJoinExact(tbl(s, dir, "documents"), "doc_id", "text", 0.8)),
 
     // character-level edit-distance similarity join — the ER grain token
     // Jaccard misses (typos/aliases); every third customer name loses its
@@ -1241,6 +1259,21 @@ object SparkEntry {
          |FROM seen LEFT JOIN outs USING (entity)
          |  LEFT JOIN tops USING (entity) LEFT JOIN ins USING (entity)""".stripMargin,
 
+    "kg22_entity_types" ->
+      s"""$triplesCte,
+         |m AS (SELECT subj AS entity, subj_type AS etype FROM triples
+         |    WHERE subj IS NOT NULL AND subj_type IS NOT NULL
+         |  UNION ALL SELECT obj, obj_type FROM triples
+         |    WHERE obj IS NOT NULL AND obj_type IS NOT NULL),
+         |v AS (SELECT entity, etype, count(*) AS votes FROM m GROUP BY 1, 2),
+         |t AS (SELECT entity, etype, votes,
+         |    CAST(sum(votes) OVER (PARTITION BY entity) AS BIGINT) AS n_mentions,
+         |    row_number() OVER (PARTITION BY entity
+         |      ORDER BY votes DESC, etype) AS rn FROM v)
+         |SELECT entity, etype AS assigned_type, votes, n_mentions,
+         |  round(CAST(votes AS DOUBLE) / n_mentions, 6) AS purity
+         |FROM t WHERE rn = 1""".stripMargin,
+
     "kg21_linkpred" ->
       s"""$triplesCte,
          |e AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
@@ -1422,6 +1455,19 @@ object SparkEntry {
         |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "dd11_containment" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    len(list_intersect(a.s, b.s)) AS o, len(a.s) AS na, len(b.s) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT ia AS id_a, ib AS id_b, CAST(o AS DOUBLE) / na AS containment
+        |FROM pr WHERE CAST(o AS DOUBLE) / na >= 0.8
+        |UNION ALL
+        |SELECT ib, ia, CAST(o AS DOUBLE) / nb FROM pr
+        |WHERE CAST(o AS DOUBLE) / nb >= 0.8""".stripMargin,
 
     "dd10_editdist" ->
       """WITH t AS (SELECT c_custkey AS id,

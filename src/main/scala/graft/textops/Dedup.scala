@@ -214,19 +214,7 @@ object Dedup {
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double, n: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold")
-    val sh = df.select(col(idCol).as("id"),
-        MinHashBlocking.shingleBaseHashes(wordShingles(col(textCol), n)).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-    val toks = sh.select(col("id"), explode(col("_sh")).as("_t"))
-    val dfs = toks.groupBy("_t").agg(count(lit(1)).as("_df"))
-    // per-doc tokens sorted rare-first by the global (df, token) order;
-    // localCheckpoint: reused by the prefix explode and BOTH verify joins
-    val sorted = toks.join(dfs, Seq("_t"))
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("_df"), col("_t")))).as("_st"))
-      .select(col("id"), transform(col("_st"), s => s.getField("_t")).as("_toks"),
-        size(col("_st")).as("_n"))
-      .localCheckpoint(false)
+    val sorted = rareFirstSorted(df, idCol, textCol, n)
     val prefLen = (col("_n") - ceil(lit(threshold) * col("_n")) + 1).cast("int")
     val pref = sorted.select(col("id"), col("_n"),
       explode(slice(col("_toks"), lit(1), prefLen)).as("_t"))
@@ -247,6 +235,73 @@ object Dedup {
         (col("_na") + col("_nb") - col("_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-doc distinct hashed shingles sorted RAREST-FIRST by the global
+    * (document frequency, token) order — the shared index of the exact
+    * set-similarity joins: (id, _toks, _n). localCheckpoint: reused by
+    * the prefix explode and the verify joins of every caller. */
+  private def rareFirstSorted(df: DataFrame, idCol: String, textCol: String,
+                              n: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        MinHashBlocking.shingleBaseHashes(wordShingles(col(textCol), n)).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val toks = sh.select(col("id"), explode(col("_sh")).as("_t"))
+    val dfs = toks.groupBy("_t").agg(count(lit(1)).as("_df"))
+    toks.join(dfs, Seq("_t"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("_df"), col("_t")))).as("_st"))
+      .select(col("id"), transform(col("_st"), s => s.getField("_t")).as("_toks"),
+        size(col("_st")).as("_n"))
+      .localCheckpoint(false)
+  }
+
+  /**
+   * EXACT corpus-wide CONTAINMENT join — the ASYMMETRIC grain of the
+   * set-similarity family: every ORDERED pair (a, b), a ≠ b, with
+   * C(a→b) = |A∩B|/|A| ≥ `threshold` (a's shingles mostly inside b).
+   * This is the quote-inclusion / subset-duplicate detector Jaccard is
+   * blind to: a paragraph pasted into a 100× longer document has
+   * J ≈ |A|/|B| ≈ 0.01 but C(a→b) = 1.0 — precisely the contamination
+   * shape benchmark answers and boilerplate-wrapped copies take
+   * (Broder's containment, SEQUENCES 1997, alongside resemblance).
+   *
+   * Prefix lemma (containment form): C(a→b) ≥ t forces overlap
+   * o ≥ ⌈t·|A|⌉, so a's first |A|−⌈t·|A|⌉+1 rare-first tokens must hit
+   * SOME token of b — a's PREFIX joins b's FULL token index (unlike the
+   * Jaccard join, b gets no prefix: containment puts no lower bound on
+   * how much of b matters). Lossless size prune: o ≤ |B| ⇒ |B| ≥ t·|A|.
+   *
+   * 100 TB shape: the [[jaccardJoinExact]] pipeline with an asymmetric
+   * candidate join (prefix side still rare-first — hot tokens reach a
+   * prefix only when a doc has nothing rarer; the full-index side is
+   * df-distributed, AQE-skew-splittable), verify joins carry the two
+   * sorted arrays per surviving candidate only.
+   */
+  def containmentJoinExact(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold")
+    val sorted = rareFirstSorted(df, idCol, textCol, n)
+    val prefLen = (col("_n") - ceil(lit(threshold) * col("_n")) + 1).cast("int")
+    val pref = sorted.select(col("id"), col("_n"),
+      explode(slice(col("_toks"), lit(1), prefLen)).as("_t"))
+    val all = sorted.select(col("id").as("id_b"), col("_n").as("_n_b"),
+      explode(col("_toks")).as("_t"))
+    val cands = pref.select(col("_t"), col("id").as("id_a"), col("_n").as("_n_a"))
+      .join(all, Seq("_t"))
+      .filter(col("id_a") =!= col("id_b"))
+      // lossless size prune: o <= |B| so C >= t needs |B| >= t*|A|
+      .filter(col("_n_b").cast("double") >= lit(threshold) * col("_n_a").cast("double"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sorted.select(col("id").as("id_a"), col("_toks").as("_sa"),
+        col("_n").as("_na")), Seq("id_a"))
+      .join(sorted.select(col("id").as("id_b"), col("_toks").as("_sb")), Seq("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+          col("_na").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
   }
 
   /**
