@@ -277,6 +277,39 @@ class PlanSpec extends SparkSpec {
       "predicate-list semi/anti joins must broadcast")
   }
 
+  test("kg21: link-prediction top-k plans as TakeOrdered, winner joins are equi") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val p = graft.graph.LinkPrediction.topCandidates(edges, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap, never a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"witness/anti joins must all be equi joins:\n$p")
+  }
+
+  test("kg22: entity-typing winner is a partial arg-min agg, never a window") {
+    import spark.implicits._
+    val m = Seq(("a", "person"), ("a", "org")).toDF("entity", "etype")
+    val p = graft.graph.EntityTyping.plurality(m, "entity", "etype")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"),
+      s"expected map-side combine of the arg-min struct:\n$p")
+    assert(!p.contains("Window"),
+      s"winner must not be a window (no WindowExec at 10^12 mentions):\n$p")
+  }
+
+  test("dd10: edit-distance verify rides the bucket equi-join, never a nested loop") {
+    import spark.implicits._
+    val rows = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz")).toDF("id", "s")
+    val p = graft.textops.EditDistance.similarPairs(rows, "id", "s", 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"the levenshtein filter must not demote the join to a nested loop:\n$p")
+    assert(p.contains("levenshtein"),
+      s"banded levenshtein must appear as a post-join filter/projection:\n$p")
+  }
+
   test("dd8: incremental dedup joins state once — no state-side self-join") {
     // the one-shot form: state is banded once and appears ONLY as the
     // build/probe complement of the increment — the plan must contain the
