@@ -319,6 +319,12 @@ object SparkEntry {
       graft.graph.EntityCards.cards(prov)
     }),
 
+    // AMIE composition-rule mining: p(x,z) ∧ q(z,y) ⇒ r(x,y) with CWA
+    // confidence over distinct endpoint pairs — finds works_at ∧ based_in
+    // ⇒ lives_in on this KG; one middle-keyed self-join + head join
+    "kg23_composition" -> ((s, dir) => graft.graph.RuleMining
+      .compositionRules(eventsPipeline(s, dir).tripleSet, minSupport = 2L)),
+
     // entity-type induction: plurality vote over the typed mention slots
     // the extraction rules fill (subj of works_at votes person, ...);
     // purity < 1 is the cross-type-merge alarm for canonicalization —
@@ -854,6 +860,13 @@ object SparkEntry {
           (col("p_us") - col("w_start")).as("delay_usec"))
     }),
 
+    // ordered-funnel analysis (view -> click -> purchase): per-user step
+    // counts + first-occurrence times and the strictly-time-ordered depth
+    // reached; ONE partial aggregate, no window/join/explode
+    "ev4_funnel" -> ((s, dir) => graft.eval.Funnel.analyze(
+      tbl(s, dir, "events"), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))),
+
     // robust per-type outlier detection (Hampel / median-MAD gate) — the
     // ingest-monitoring alarm a mean/stddev gate misses on heavy tails;
     // both medians are the exact type-1 rank statistic (tx8 convention)
@@ -1258,6 +1271,21 @@ object SparkEntry {
          |  first_seen, last_seen
          |FROM seen LEFT JOIN outs USING (entity)
          |  LEFT JOIN tops USING (entity) LEFT JOIN ins USING (entity)""".stripMargin,
+
+    "kg23_composition" ->
+      s"""$triplesCte,
+         |t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples
+         |  WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL),
+         |paths AS MATERIALIZED (SELECT DISTINCT l.pred AS body_p, r.pred AS body_q,
+         |    l.subj AS x, r.obj AS y
+         |  FROM t l JOIN t r ON l.obj = r.subj),
+         |np AS (SELECT body_p, body_q, count(*) AS n_paths FROM paths GROUP BY 1, 2),
+         |sup AS (SELECT body_p, body_q, t.pred AS head_pred, count(*) AS support
+         |  FROM paths JOIN t ON t.subj = paths.x AND t.obj = paths.y
+         |  GROUP BY 1, 2, 3)
+         |SELECT body_p, body_q, head_pred, support, n_paths,
+         |  round(CAST(support AS DOUBLE) / n_paths, 6) AS confidence
+         |FROM sup JOIN np USING (body_p, body_q) WHERE support >= 2""".stripMargin,
 
     "kg22_entity_types" ->
       s"""$triplesCte,
@@ -2119,6 +2147,26 @@ object SparkEntry {
         |  p.p_us - c.w_start AS delay_usec
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND p.p_us >= c.w_start AND p.p_us <= c.w_end""".stripMargin,
+
+    "ev4_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |a AS (SELECT user_id,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS ts_view_us,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |    min(CASE WHEN event_type = 'click' THEN us END) AS ts_click_us,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |    min(CASE WHEN event_type = 'purchase' THEN us END) AS ts_purchase_us
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_view, ts_view_us, n_click, ts_click_us,
+        |  n_purchase, ts_purchase_us,
+        |  CASE WHEN ts_view_us IS NULL THEN 0
+        |       WHEN ts_click_us IS NULL OR ts_click_us <= ts_view_us THEN 1
+        |       WHEN ts_purchase_us IS NULL OR ts_purchase_us <= ts_click_us THEN 2
+        |       ELSE 3 END AS reached
+        |FROM a""".stripMargin,
 
     "ev3_outliers" ->
       """WITH v AS (SELECT event_id, event_type, value FROM events

@@ -68,6 +68,51 @@ object RuleMining {
    * @return (pred, inv_pred, support, n_pred_triples, confidence) for
    *         pairs with support >= minSupport, confidence 6-dp rounded.
    */
+  /**
+   * Composition-rule mining — the AMIE path rule
+   * p(x, z) ∧ q(z, y) ⇒ r(x, y): the two-hop schema regularities a KG
+   * carries (here `works_at ∧ based_in ⇒ lives_in`,
+   * `reports_to ∧ works_at ⇒ works_at` — colleagues share employers),
+   * feeding both link prediction and extraction QA (a high-confidence
+   * rule with missing heads marks under-extraction).
+   *
+   * AMIE head-instance counting: `n_paths` = #DISTINCT endpoint pairs
+   * (x, y) connected by a (p, q) path (several middles count once),
+   * `support` = #those pairs where r(x, y) is in the KG,
+   * `confidence` = support / n_paths (CWA standard confidence, 6 dp).
+   *
+   * 100 TB shape: ONE middle-keyed self-join of the distinct triple set
+   * (fan-out = in-deg × out-deg on hub middles — the AQE-skew-split
+   * case, same key profile as [[inversePairs]]), an endpoint distinct,
+   * one (x, y)-keyed head join, and #pred²-/#pred³-bounded aggs.
+   *
+   * @return (body_p, body_q, head_pred, support, n_paths, confidence)
+   *         for rules with support >= minSupport.
+   */
+  def compositionRules(triples: DataFrame, minSupport: Long = 1L): DataFrame = {
+    val t = triples.select(col("subj"), col("pred"), col("obj"))
+      .filter(col("subj").isNotNull && col("pred").isNotNull && col("obj").isNotNull)
+      .distinct().localCheckpoint(false)
+    val paths = t.alias("l")
+      .join(t.alias("r"), col("l.obj") === col("r.subj"))
+      .select(col("l.pred").as("body_p"), col("r.pred").as("body_q"),
+        col("l.subj").as("x"), col("r.obj").as("y"))
+      .distinct().localCheckpoint(false)
+    val nPaths = paths.groupBy("body_p", "body_q")
+      .agg(count(lit(1)).as("n_paths"))
+    val sup = paths
+      .join(t.select(col("subj").as("x"), col("pred").as("head_pred"),
+        col("obj").as("y")), Seq("x", "y"))
+      .groupBy("body_p", "body_q", "head_pred")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    sup.join(nPaths, Seq("body_p", "body_q"))
+      .select(col("body_p"), col("body_q"), col("head_pred"),
+        col("support"), col("n_paths"),
+        round(col("support").cast("double") / col("n_paths"), 6)
+          .as("confidence"))
+  }
+
   def inversePairs(triples: DataFrame, minSupport: Long = 1L): DataFrame = {
     // consumed three times (both self-join sides + totals): materialize
     // once and cut the upstream lineage — same posture as

@@ -80,6 +80,61 @@ class RuleMiningSpec extends SparkSpec {
     assert(gotInv == wantInv)
   }
 
+  test("compositionRules: hand-computed works_at∧based_in⇒lives_in") {
+    val t = Seq(
+      ("alice", "works_at", "acme"), ("acme", "based_in", "paris"),
+      ("alice", "lives_in", "paris"),                    // head present
+      ("bob", "works_at", "acme"),                       // path, head absent
+      ("carol", "works_at", "globex"), ("globex", "based_in", "oslo"),
+      ("carol", "lives_in", "oslo")                      // head present
+    ).toDF("subj", "pred", "obj")
+    val got = RuleMining.compositionRules(t)
+      .as[(String, String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5, r._6))).toMap
+    // paths for (works_at, based_in): (alice,paris),(bob,paris),(carol,oslo)
+    assert(got(("works_at", "based_in", "lives_in")) == ((2L, 3L, 0.666667)))
+  }
+
+  test("compositionRules: distinct endpoint counting (several middles = one path)") {
+    val t = Seq(
+      ("x", "p", "m1"), ("x", "p", "m2"),
+      ("m1", "q", "y"), ("m2", "q", "y"),  // two middles, one (x,y) pair
+      ("x", "r", "y")
+    ).toDF("subj", "pred", "obj")
+    val got = RuleMining.compositionRules(t)
+      .as[(String, String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5, r._6))).toMap
+    assert(got(("p", "q", "r")) == ((1L, 1L, 1.0)))
+  }
+
+  test("compositionRules: equals brute force on a seeded random KG; invariant") {
+    val rnd = new scala.util.Random(563)
+    val ents = (0 until 20).map(i => s"e$i")
+    val preds = Seq("p0", "p1", "p2")
+    val ts = Seq.fill(200)((ents(rnd.nextInt(ents.size)),
+      preds(rnd.nextInt(preds.size)), ents(rnd.nextInt(ents.size)))).distinct
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tset = ts.toSet
+    val pathPairs = (for {
+      (x, p, z) <- ts; (z2, q, y) <- ts if z2 == z
+    } yield (p, q, x, y)).distinct
+    val nPaths = pathPairs.groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.size.toLong }
+    val want = pathPairs.flatMap { case (p, q, x, y) =>
+      preds.collect { case r if tset.contains((x, r, y)) => (p, q, r) }
+    }.groupBy(identity).map { case ((p, q, r), hits) =>
+      (p, q, r, hits.size.toLong, nPaths((p, q)),
+        r6(hits.size.toDouble / nPaths((p, q))))
+    }.filter(_._4 >= 2L).toSet
+    val df = ts.toDF("subj", "pred", "obj")
+    val got = RuleMining.compositionRules(df, minSupport = 2L)
+      .as[(String, String, String, Long, Long, Double)].collect().toSet
+    assert(got == want)
+    val got2 = RuleMining.compositionRules(df.repartition(7), minSupport = 2L)
+      .as[(String, String, String, Long, Long, Double)].collect().toSet
+    assert(got2 == want)
+  }
+
   test("minSupport filters; repartition invariance") {
     val t = Seq(
       ("a", "p", "b"), ("b", "q", "a"),
