@@ -420,7 +420,13 @@ object VectorExpressions {
   case class BucketDot(left: Expression, right: Expression, weights: Seq[Long])
       extends BinaryExpression {
     override def dataType: DataType = LongType
-    override def nullable: Boolean = left.nullable || right.nullable
+    // ALWAYS nullable: a length mismatch nulls out even when both children
+    // are non-nullable (e.g. collect_list outputs). Deriving this from the
+    // children also made nullSafeCodeGen take its non-nullable branch, where
+    // ev.isNull is the literal `false` and never declared — the generated
+    // `isNull_x = true` then failed Janino compilation and every classifier
+    // margin silently fell back to interpreted eval.
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       firstFailure(
         left.dataType match {

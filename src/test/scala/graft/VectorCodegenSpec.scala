@@ -57,6 +57,42 @@ class VectorCodegenSpec extends SparkSpec {
     assert(byId(4L).isNullAt(1) && byId(5L).isNullAt(1))
   }
 
+  test("bucket_dot: codegen compiles over NON-nullable children (collect_list shape)") {
+    // Regression: with nullable derived from the children, non-nullable
+    // array inputs sent nullSafeCodeGen down its non-null branch where
+    // ev.isNull is the literal `false`; the mismatch branch's generated
+    // `isNull_x = true` assignment then failed to compile and the whole
+    // classifier scoring projection silently fell back to interpreted eval
+    // (observed on qf3: "Expression isNull_5 is not an rvalue").
+    val w = Seq(10L, 20L, 30L)
+    val conf = spark.conf
+    val m0 = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val f0 = conf.get("spark.sql.codegen.fallback", "true")
+    try {
+      conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      conf.set("spark.sql.codegen.fallback", "false") // compile error -> throw
+      // collect_list output arrays are non-nullable — the exact shape the
+      // classifier feeds bucket_dot
+      val rolled = Seq((1L, 0, 100L), (1L, 2, 7L), (2L, 1, 5L))
+        .toDF("id", "bucket", "x")
+        .groupBy(col("id"))
+        .agg(collect_list(col("bucket")).as("bks"), collect_list(col("x")).as("xs"))
+      assert(!rolled.schema("bks").nullable, "fixture must be non-nullable")
+      val got = rolled
+        .select(col("id"), VectorExpressions.bucket_dot(col("bks"), col("xs"), w).as("dot"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(1L) == 10L * 100 + 30L * 7)
+      assert(got(2L) == 20L * 5)
+      // literal arrays (also non-nullable) through the same hard-fail pins
+      val lit1 = spark.range(1).select(VectorExpressions.bucket_dot(
+        array(lit(0), lit(1)), array(lit(3L), lit(4L)), w).as("dot")).head.getLong(0)
+      assert(lit1 == 10L * 3 + 20L * 4)
+    } finally {
+      conf.set("spark.sql.codegen.factoryMode", m0)
+      conf.set("spark.sql.codegen.fallback", f0)
+    }
+  }
+
   private def allFive(df: org.apache.spark.sql.DataFrame) = {
     val cents = Seq(Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0), Seq(-1.0, 5.0, 0.5))
     df.select(
