@@ -325,6 +325,17 @@ object SparkEntry {
     "kg23_composition" -> ((s, dir) => graft.graph.RuleMining
       .compositionRules(eventsPipeline(s, dir).tripleSet, minSupport = 2L)),
 
+    // SPARQL-style basic-graph-pattern query over the constructed KG:
+    // the cyclic 3-pattern "colleagues" conjunction (employee and their
+    // manager share an employer — the kg23 composition rule's instances)
+    // — each pattern a filtered projection (constant pred pushed to the
+    // scan), every join an equi join on shared variables
+    "kg24_bgp" -> ((s, dir) => graft.graph.Bgp.matchPatterns(
+      eventsPipeline(s, dir).tripleSet,
+      Seq(("?emp", "reports_to", "?mgr"),
+        ("?mgr", "works_at", "?org"),
+        ("?emp", "works_at", "?org")))),
+
     // entity-type induction: plurality vote over the typed mention slots
     // the extraction rules fill (subj of works_at votes person, ...);
     // purity < 1 is the cross-type-merge alarm for canonicalization —
@@ -1286,6 +1297,16 @@ object SparkEntry {
          |SELECT body_p, body_q, head_pred, support, n_paths,
          |  round(CAST(support AS DOUBLE) / n_paths, 6) AS confidence
          |FROM sup JOIN np USING (body_p, body_q) WHERE support >= 2""".stripMargin,
+
+    "kg24_bgp" ->
+      s"""$triplesCte,
+         |t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples
+         |  WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL)
+         |SELECT DISTINCT r.subj AS emp, r.obj AS mgr, wm.obj AS org
+         |FROM t r
+         |  JOIN t wm ON wm.subj = r.obj AND wm.pred = 'works_at'
+         |  JOIN t we ON we.subj = r.subj AND we.obj = wm.obj AND we.pred = 'works_at'
+         |WHERE r.pred = 'reports_to'""".stripMargin,
 
     "kg22_entity_types" ->
       s"""$triplesCte,

@@ -219,6 +219,31 @@ class PlanSpec extends SparkSpec {
     assert(topk.count() > 0)
   }
 
+  test("kg24 BGP: constant preds pushed to the parquet scan, equi joins only") {
+    import org.apache.spark.sql.functions._
+    // BGP over a parquet-stored triple table — the serving layout
+    val tDir = java.nio.file.Files.createTempDirectory("graft_bgp_t").toString
+    spark.range(0, 1000).select(
+      concat(lit("e"), pmod(col("id"), lit(50))).as("subj"),
+      concat(lit("p"), pmod(col("id"), lit(4))).as("pred"),
+      concat(lit("e"), pmod(col("id") * 7, lit(50))).as("obj"))
+      .write.mode("overwrite").parquet(tDir)
+    val t = spark.read.parquet(tDir)
+    val df = graft.graph.Bgp.matchPatterns(t,
+      Seq(("?a", "p0", "?b"), ("?b", "p1", "?c")))
+    val p = plan(df)
+    // each pattern's constant pred must reach the scan as a pushed filter
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(pred,p0)") && pushed.contains("EqualTo(pred,p1)"),
+      s"constant preds not pushed: $pushed")
+    // shared-variable joins are equi joins — never a nested loop; at 100 TB
+    // a theta/cartesian plan here is the difference between minutes and never
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"BGP join must be an equi join:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a hash/merge equi join:\n${p.take(1500)}")
+  }
+
   test("qf1/qf2: importance + perplexity scoring are exchange-free projections") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
