@@ -878,6 +878,12 @@ object SparkEntry {
       tbl(s, dir, "events"), "user_id", "event_type", "ts",
       Seq("view", "click", "purchase"))),
 
+    // weekly cohort retention matrix: users cohorted by first-event week
+    // (absolute integer weeks — pure epoch arithmetic, engine-portable),
+    // count(*) per cell (no count-distinct expand), no windows
+    "ev5_retention" -> ((s, dir) => graft.eval.Retention.cohorts(
+      tbl(s, dir, "events"), "user_id", "ts")),
+
     // robust per-type outlier detection (Hampel / median-MAD gate) — the
     // ingest-monitoring alarm a mean/stddev gate misses on heavy tails;
     // both medians are the exact type-1 rank statistic (tx8 convention)
@@ -2188,6 +2194,19 @@ object SparkEntry {
         |       WHEN ts_purchase_us IS NULL OR ts_purchase_us <= ts_click_us THEN 2
         |       ELSE 3 END AS reached
         |FROM a""".stripMargin,
+
+    "ev5_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 604800000000 AS week
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |coh AS (SELECT u, min(week) AS cohort_week FROM act GROUP BY 1),
+        |sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM coh GROUP BY 1),
+        |cells AS (SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |    count(*) AS n_active
+        |  FROM act a JOIN coh c USING (u) GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM cells JOIN sizes USING (cohort_week)""".stripMargin,
 
     "ev3_outliers" ->
       """WITH v AS (SELECT event_id, event_type, value FROM events
