@@ -336,6 +336,13 @@ object SparkEntry {
         ("?mgr", "works_at", "?org"),
         ("?emp", "works_at", "?org")))),
 
+    // graph QA telemetry: in/out/total degree histograms of the KG edge
+    // set — the post-construction hub/under-link alarm; all partial
+    // aggregates, output bounded by #distinct degrees
+    "kg25_degrees" -> ((s, dir) => graft.graph.GraphTelemetry
+      .degreeHistogram(eventsPipeline(s, dir).tripleSet
+        .select(col("subj").as("src"), col("obj").as("dst")))),
+
     // entity-type induction: plurality vote over the typed mention slots
     // the extraction rules fill (subj of works_at votes person, ...);
     // purity < 1 is the cross-type-merge alarm for canonicalization —
@@ -884,6 +891,19 @@ object SparkEntry {
     "ev5_retention" -> ((s, dir) => graft.eval.Retention.cohorts(
       tbl(s, dir, "events"), "user_id", "ts")),
 
+    // per-type event-RATE anomaly days: a pure COMPOSITION (brief
+    // preference (a)) — daily counts fed through the ev3 median/MAD
+    // Hampel gate, no new operator; the ingest-volume spike/outage alarm
+    "ev6_rate_anomalies" -> ((s, dir) => {
+      val counts = tbl(s, dir, "events")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.eval.Outliers.robustOutliers(counts, "day", "event_type", "n",
+        cutoff = 2.0)
+    }),
+
     // robust per-type outlier detection (Hampel / median-MAD gate) — the
     // ingest-monitoring alarm a mean/stddev gate misses on heavy tails;
     // both medians are the exact type-1 rank statistic (tx8 convention)
@@ -1313,6 +1333,26 @@ object SparkEntry {
          |  JOIN t wm ON wm.subj = r.obj AND wm.pred = 'works_at'
          |  JOIN t we ON we.subj = r.subj AND we.obj = wm.obj AND we.pred = 'works_at'
          |WHERE r.pred = 'reports_to'""".stripMargin,
+
+    "kg25_degrees" ->
+      s"""$triplesCte,
+         |e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+         |  WHERE subj IS NOT NULL AND obj IS NOT NULL),
+         |outd AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         |ind AS (SELECT dst AS node, count(*) AS deg FROM e GROUP BY 1),
+         |totd AS (SELECT node, CAST(sum(deg) AS BIGINT) AS deg FROM
+         |  (SELECT * FROM outd UNION ALL SELECT * FROM ind) GROUP BY 1)
+         |SELECT 'out' AS kind, deg AS degree, count(*) AS n_nodes,
+         |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM outd), 6) AS frac
+         |FROM outd GROUP BY 2
+         |UNION ALL
+         |SELECT 'in', deg, count(*),
+         |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM ind), 6)
+         |FROM ind GROUP BY 2
+         |UNION ALL
+         |SELECT 'total', deg, count(*),
+         |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM totd), 6)
+         |FROM totd GROUP BY 2""".stripMargin,
 
     "kg22_entity_types" ->
       s"""$triplesCte,
@@ -2207,6 +2247,27 @@ object SparkEntry {
         |SELECT cohort_week, week_offset, n_active, cohort_size,
         |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
         |FROM cells JOIN sizes USING (cohort_week)""".stripMargin,
+
+    "ev6_rate_anomalies" ->
+      """WITH c AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cnt AS (SELECT event_type, count(*) AS m FROM c GROUP BY 1),
+        |r AS (SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n) AS rk FROM c),
+        |med AS (SELECT r.event_type, r.n AS med FROM r JOIN cnt USING (event_type)
+        |  WHERE rk = CAST(floor((m - 1) * 0.5) AS BIGINT) + 1),
+        |d AS (SELECT c.day, c.event_type, c.n, med.med,
+        |    abs(c.n - med.med) AS dev FROM c JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk FROM d),
+        |mad AS (SELECT r2.event_type, r2.dev AS mad FROM r2 JOIN cnt USING (event_type)
+        |  WHERE rk = CAST(floor((m - 1) * 0.5) AS BIGINT) + 1)
+        |SELECT day, event_type, n, med, mad,
+        |  CASE WHEN mad > 0 THEN round(dev / mad, 6) END AS robust_z
+        |FROM d JOIN mad USING (event_type) WHERE dev > 2.0 * mad""".stripMargin,
 
     "ev3_outliers" ->
       """WITH v AS (SELECT event_id, event_type, value FROM events
