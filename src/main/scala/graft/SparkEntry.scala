@@ -343,6 +343,25 @@ object SparkEntry {
       .degreeHistogram(eventsPipeline(s, dir).tripleSet
         .select(col("subj").as("src"), col("obj").as("dst")))),
 
+    // SHACL-style schema enforcement: typed entities missing predicates
+    // their label requires (discovery closes the loop by VALIDATING) —
+    // object-only entities (the top manager, object-only orgs) are
+    // exactly who fails subject-profile requirements
+    "kg26_violations" -> ((s, dir) => {
+      val r = eventsPipeline(s, dir)
+      val t = r.tripleSet
+      val subjT = Extraction.rules.foldLeft(lit(null).cast("string")) {
+        (acc, rl) => when(col("pred") === rl.pred, lit(rl.subjType)).otherwise(acc)
+      }
+      val objT = Extraction.rules.foldLeft(lit(null).cast("string")) {
+        (acc, rl) => when(col("pred") === rl.pred, lit(rl.objType)).otherwise(acc)
+      }
+      val mentions = t.select(col("subj").as("entity"), subjT.as("etype"))
+        .unionByName(t.select(col("obj").as("entity"), objT.as("etype")))
+      val types = graft.graph.EntityTyping.plurality(mentions, "entity", "etype")
+      graft.schemadisc.Validation.requiredViolations(t, types, r.nodeSchema)
+    }),
+
     // entity-type induction: plurality vote over the typed mention slots
     // the extraction rules fill (subj of works_at votes person, ...);
     // purity < 1 is the cross-type-merge alarm for canonicalization —
@@ -1353,6 +1372,29 @@ object SparkEntry {
          |SELECT 'total', deg, count(*),
          |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM totd), 6)
          |FROM totd GROUP BY 2""".stripMargin,
+
+    "kg26_violations" ->
+      s"""$triplesCte,
+         |td AS MATERIALIZED (SELECT DISTINCT subj, pred, obj, subj_type, obj_type
+         |  FROM triples
+         |  WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL),
+         |m AS (SELECT subj AS entity, subj_type AS etype FROM td
+         |  UNION ALL SELECT obj, obj_type FROM td),
+         |v AS (SELECT entity, etype, count(*) AS votes FROM m GROUP BY 1, 2),
+         |ty AS (SELECT entity, etype AS label FROM (
+         |  SELECT entity, etype, row_number() OVER (PARTITION BY entity
+         |    ORDER BY votes DESC, etype) AS rn FROM v) WHERE rn = 1),
+         |ec AS (SELECT subj_type AS label, COUNT(DISTINCT subj) AS n_entities
+         |  FROM triples GROUP BY 1),
+         |pc AS (SELECT subj_type AS label, pred AS predicate,
+         |    COUNT(DISTINCT subj) AS n_with FROM triples GROUP BY 1, 2),
+         |req AS (SELECT pc.label, pc.predicate FROM pc JOIN ec USING (label)
+         |  WHERE pc.n_with = ec.n_entities),
+         |expect AS (SELECT ty.entity, ty.label, req.predicate
+         |  FROM ty JOIN req USING (label))
+         |SELECT entity, label, predicate FROM expect e
+         |WHERE NOT EXISTS (SELECT 1 FROM td t
+         |  WHERE t.subj = e.entity AND t.pred = e.predicate)""".stripMargin,
 
     "kg22_entity_types" ->
       s"""$triplesCte,
