@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.link.MinHashBlocking
 
@@ -12,27 +12,51 @@ import graft.link.MinHashBlocking
  * ("Jon Smith" / "John Smith") that token Jaccard scores 0 on. Emits
  * every unordered pair with Levenshtein distance ≤ `maxDist`.
  *
- * Blocking is LOSSLESS: |len(x) − len(y)| lower-bounds edit distance,
- * so with length buckets of width W = max(maxDist, 1) a qualifying pair
- * sits in the same or adjacent buckets. Each row emits its bucket and
- * bucket+1 as join keys; a same-bucket pair meets at two keys, an
- * adjacent-bucket pair at exactly one — verify runs FIRST (the banded
- * `levenshtein(a, b, threshold)` built-in: O(maxDist·len) per pair and
+ * Two LOSSLESS blocking schemes, dispatched on the bound:
+ *
+ *  - `maxDist ≤ 1`: DELETION-NEIGHBORHOOD keys (the SymSpell scheme) —
+ *    a row's keys are the string itself plus every delete-one-char
+ *    variant; any pair within edit distance 1 shares a key (substitution
+ *    → the common deletion at the edited position; indel → the shorter
+ *    string IS a deletion variant of the longer; equality → the string
+ *    itself). Selectivity comes from CONTENT, not length: the first
+ *    cut of this operator blocked on length buckets alone, which is
+ *    degenerate on fixed-width corpora (TPC-H customer names are all 18
+ *    chars → the join collapsed to all-pairs; measured 419 s on 15k
+ *    names at sf0.1, vs ~seconds with deletion keys).
+ *  - `maxDist ≥ 2`: length buckets of width `maxDist` (|len(x) − len(y)|
+ *    lower-bounds edit distance; each row emits bucket and bucket+1) —
+ *    the deletion neighborhood grows C(len, k), so past k=1 the length
+ *    scheme plus the family caps is the practical path; its weakness on
+ *    uniform-length corpora is documented here and bounded by
+ *    `maxBlock`/`pairBudget`.
+ *
+ * In both schemes verify runs FIRST (the banded
+ * `levenshtein(a, b, threshold)` built-in: O(maxDist·len) per pair with
  * early-exit −1 above the bound, never the full DP matrix), THEN the
  * dedup exchange carries only (id_a, id_b, dist) scalars — the dd4
- * ordering lesson.
+ * ordering lesson. Keys are `xxhash64` longs; hash collisions and
+ * same-key non-neighbors ("ab"/"ba" share deletion "a" at distance 2)
+ * are exactly what the verify removes.
  *
- * 100 TB shape: one explode projection, ONE key-equi self-join whose
- * fan-out is bounded by length-bucket occupancy, a scalar verify, one
- * pair dedup exchange. Length distributions of real name/title corpora
- * concentrate mass in few buckets, so the family-standard
- * `maxBlock`/`pairBudget` caps ([[MinHashBlocking.capBuckets]]) bound
- * the quadratic blow-up (default off = exact semantics — the oracle
- * pins those). For long documents use the token-set family instead;
- * this operator's domain is short strings where character edits ARE the
- * similarity signal.
+ * 100 TB shape: one explode projection (fan-out len+1 for k≤1, 2 for
+ * k≥2), ONE key-equi self-join, a scalar verify, one pair-dedup
+ * exchange. The family-standard `maxBlock`/`pairBudget` caps
+ * ([[MinHashBlocking.capBuckets]]) bound degenerate key occupancy
+ * (default off = exact semantics — the oracle pins those). The domain
+ * is short strings where character edits ARE the similarity signal; for
+ * long documents use the token-set family instead.
  */
 object EditDistance {
+
+  /** Deletion-neighborhood key strings for one row: the string plus each
+    * delete-one-char variant (deduped — "aa" deletes to "a" twice). */
+  private def deletionVariants(s: Column): Column = array_distinct(concat(
+    array(s),
+    when(length(s) > 0,
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))))
+      .otherwise(array())))
 
   /** All pairs (id_a, id_b, dist) with levenshtein ≤ maxDist, id_a < id_b.
     * Input needs `idCol` (unique) and `strCol`; null strings are dropped. */
@@ -40,18 +64,25 @@ object EditDistance {
                    maxBlock: Int = Int.MaxValue,
                    pairBudget: Long = Long.MaxValue): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val w = math.max(maxDist, 1)
     val rows0 = df
       .filter(col(strCol).isNotNull)
-      .select(col(idCol).as("_id"), col(strCol).as("_s"),
-        (length(col(strCol)) / w).cast("long").as("_blk"))
-    val exploded0 = rows0.select(col("_id"), col("_s"),
-      explode(array(col("_blk"), col("_blk") + 1)).as("_key"))
-    val exploded =
-      if (maxBlock == Int.MaxValue && pairBudget == Long.MaxValue) exploded0
-      else MinHashBlocking.capBuckets(exploded0, Seq("_key"), maxBlock, pairBudget)
-    val a = exploded.select(col("_key"), col("_id").as("id_a"), col("_s").as("_s_a"))
-    val b = exploded.select(col("_key"), col("_id").as("id_b"), col("_s").as("_s_b"))
+      .select(col(idCol).as("_id"), col(strCol).as("_s"))
+    val keyed0 =
+      if (maxDist <= 1) {
+        val vars = if (maxDist == 0) array(col("_s")) else deletionVariants(col("_s"))
+        rows0.select(col("_id"), col("_s"), explode(vars).as("_v"))
+          .select(col("_id"), col("_s"), xxhash64(col("_v")).as("_key"))
+      } else {
+        val w = math.max(maxDist, 1)
+        rows0.select(col("_id"), col("_s"),
+          explode(array((length(col("_s")) / w).cast("long"),
+            (length(col("_s")) / w).cast("long") + 1)).as("_key"))
+      }
+    val keyed =
+      if (maxBlock == Int.MaxValue && pairBudget == Long.MaxValue) keyed0
+      else MinHashBlocking.capBuckets(keyed0, Seq("_key"), maxBlock, pairBudget)
+    val a = keyed.select(col("_key"), col("_id").as("id_a"), col("_s").as("_s_a"))
+    val b = keyed.select(col("_key"), col("_id").as("id_b"), col("_s").as("_s_b"))
     a.join(b, Seq("_key"))
       .filter(col("id_a") < col("id_b"))
       // lossless scalar prune before the DP verify

@@ -67,15 +67,28 @@ class EditDistanceSpec extends SparkSpec {
     for (k <- Seq(1, 2, 3)) assert(run(rows, k) == ref(rows, k), s"maxDist=$k")
   }
 
-  test("maxBlock cap drops pairs from oversized length buckets only") {
-    // 20 same-length strings (one hot bucket) + an isolated small bucket
-    val hot = (1L to 20L).map(i => i -> f"name$i%04d")
+  test("maxBlock cap drops pairs from oversized key buckets only") {
+    // 20 exact copies (every deletion-variant key bucket has occupancy 20)
+    // + an isolated cold pair sharing only a 2-member variant bucket
+    val hot = (1L to 20L).map(i => i -> "same name")
     val cold = Seq(100L -> "xy", 101L -> "xz")
     val uncapped = run(hot ++ cold, 1)
     assert(uncapped.contains((100L, 101L, 1)))
-    // each hot row emits 2 keys -> bucket occupancy 20 > maxBlock=4
+    assert(uncapped.contains((1L, 2L, 0)))
     val capped = run(hot ++ cold, 1, maxBlock = 4)
     assert(capped == Seq((100L, 101L, 1)))
+  }
+
+  test("uniform-width corpus (the dd10 shape): deletion keys stay selective") {
+    // fixed-width names, every third truncated by one char — all strings
+    // land in 1-2 LENGTH buckets (the degenerate case that collapsed the
+    // length-blocked first cut to all-pairs), but deletion-variant keys
+    // block on content; result must still equal brute force
+    val rows = (1L to 150L).map { i =>
+      val full = f"Customer#$i%09d"
+      i -> (if (i % 3 == 0) full.substring(0, full.length - 1) else full)
+    }
+    assert(run(rows, 1) == ref(rows, 1))
   }
 
   test("repartition-invariant; null strings dropped") {

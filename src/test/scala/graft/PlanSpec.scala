@@ -244,6 +244,17 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), s"expected a hash/merge equi join:\n${p.take(1500)}")
   }
 
+  test("ev5 retention: no count-distinct Expand, no Window — partial aggs + equi joins only") {
+    val p = plan(SparkEntry.queries("ev5_retention")(spark, dir))
+    // (user, week) rows are distinct and each user has one cohort, so the
+    // per-cell count must plan as a plain count(*) — an Expand node means
+    // someone reintroduced count(DISTINCT) and tripled the shuffle volume
+    assert(!p.contains("Expand"), s"count-distinct expand crept in:\n${p.take(1200)}")
+    assert(!p.contains("Window"), s"retention must not use windows:\n${p.take(1200)}")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"expected map-side partial aggregation:\n${p.take(1200)}")
+  }
+
   test("qf1/qf2: importance + perplexity scoring are exchange-free projections") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
