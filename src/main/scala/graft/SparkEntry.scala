@@ -929,14 +929,6 @@ object SparkEntry {
     "ev3_outliers" -> ((s, dir) => graft.eval.Outliers.robustOutliers(
       tbl(s, dir, "events"), "event_id", "event_type", "value", cutoff = 3.0)),
 
-    // gap-based sessionization (30-min inactivity gap): one Exchange
-    // total — lag + running sum share one window spec and the closing
-    // per-(user, session) aggregate reuses the user partitioning
-    // (plan-pinned in PlanSpec)
-    "ev7_sessions" -> ((s, dir) => graft.eval.Sessionize.sessions(
-      tbl(s, dir, "events"), "user_id", "ts", "event_id",
-      gapUsec = 1800000000L)),
-
     // ---- training-data pipeline: multimodal plumbing (decode STUBBED) ----
 
     "mm1_assets" -> ((s, dir) => graft.multimodal.Multimodal
@@ -2336,23 +2328,6 @@ object SparkEntry {
         |SELECT event_id, event_type, value, med, mad,
         |  CASE WHEN mad > 0 THEN round(dev / mad, 6) END AS robust_z
         |FROM d JOIN mad USING (event_type) WHERE dev > 3.0 * mad""".stripMargin,
-
-    "ev7_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |l AS (SELECT user_id, event_id, us,
-        |    CASE WHEN lag(us) OVER w IS NULL
-        |              OR us - lag(us) OVER w > 1800000000
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |s AS (SELECT user_id, us,
-        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-        |  FROM l)
-        |SELECT user_id, session_idx, min(us) AS session_start_us,
-        |  max(us) AS session_end_us, count(*) AS n_events,
-        |  max(us) - min(us) AS duration_usec
-        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "mm1_assets" ->
       """SELECT doc_id AS asset_id,

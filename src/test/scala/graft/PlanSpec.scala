@@ -136,19 +136,6 @@ class PlanSpec extends SparkSpec {
       s"a global sort (range partitioning) would resort the whole corpus:\n${p.take(800)}")
   }
 
-  test("sessionize: ONE Exchange — closing agg reuses the window's user partitioning") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-    val p = plan(graft.eval.Sessionize.sessions(ev, "user_id", "ts", "event_id", 1800000000L))
-    // lag + running-sum share one window spec (one Exchange + one Sort);
-    // the per-(user, session_idx) aggregate's clustering is satisfied by
-    // hashpartitioning(user_id) — a second Exchange here means the
-    // superset-key reuse broke and the op shuffles twice at 100 TB
-    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 1,
-      s"expected exactly one Exchange (hash on user_id); got:\n${p.take(1200)}")
-    assert("Sort \\(\\d+\\)".r.findAllIn(p).size == 1,
-      s"both windows must share one sort:\n${p.take(1200)}")
-  }
-
   test("stableTurns plans as a per-group top-1 limit, not a full window sort") {
     val tr = graft.fixtures.TranscriptGen.transcripts(spark, 10)
     val p = plan(graft.ingest.Transcripts.stableTurns(tr))
