@@ -136,6 +136,19 @@ class PlanSpec extends SparkSpec {
       s"a global sort (range partitioning) would resort the whole corpus:\n${p.take(800)}")
   }
 
+  test("q10 sessionize: ONE Exchange — lag + running sum share a window spec, closing agg reuses user partitioning") {
+    val p = plan(SparkEntry.queries("q10_sessionize")(spark, dir))
+    // the gap flag (lag) and session index (sum rows-unbounded-preceding)
+    // must share one hash partition + sort on user_id, and the closing
+    // per-(user, session_idx) aggregate's clustering is satisfied by
+    // hashpartitioning(user_id) — a second Exchange means the superset-key
+    // reuse broke and sessionization shuffles the event stream twice
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 1,
+      s"expected exactly one Exchange (hash on user_id); got:\n${p.take(1200)}")
+    assert("Sort \\(\\d+\\)".r.findAllIn(p).size == 1,
+      s"both windows must share one sort:\n${p.take(1200)}")
+  }
+
   test("stableTurns plans as a per-group top-1 limit, not a full window sort") {
     val tr = graft.fixtures.TranscriptGen.transcripts(spark, 10)
     val p = plan(graft.ingest.Transcripts.stableTurns(tr))
