@@ -366,6 +366,13 @@ object SparkEntry {
     // the extraction rules fill (subj of works_at votes person, ...);
     // purity < 1 is the cross-type-merge alarm for canonicalization —
     // winner is an arg-min partial aggregate, never a window
+    // discourse focus tracking: per turn, the most recently mentioned
+    // subject at or before it — the anaphora/coreference substrate for
+    // dialogue KG construction (chatter turns inherit the running focus);
+    // one scan + one conv-keyed window (single Exchange + Sort, PlanSpec)
+    "kg27_focus" -> ((s, dir) =>
+      graft.extract.Discourse.focusTrack(eventsTranscripts(s, dir))),
+
     "kg22_entity_types" -> ((s, dir) => {
       val t = Extraction.triplesRaw(eventsTranscripts(s, dir))
       val m = t.select(col("subj_norm").as("entity"), col("subj_type").as("etype"))
@@ -464,6 +471,23 @@ object SparkEntry {
     // MinHash+LSH near-dup pairs, exact-Jaccard verified
     "dd2_minhash_pairs" -> ((s, dir) =>
       graft.textops.Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", 0.8)),
+
+    // blocking-quality audit of the dd2 MinHash blocker: pairs
+    // completeness vs the exact-duplicate ground truth (identical text,
+    // md5-digest self-join — 32-byte digests shuffle, never documents)
+    // and reduction ratio vs the all-pairs space; identical docs share
+    // every band bucket, so completeness is 1.0 unless a cap bites
+    "er1_blocking_quality" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val h = docs.select(col("doc_id"), md5(col("text")).as("_h"))
+      val truth = h.as("a").join(h.as("b"),
+          col("a._h") === col("b._h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val found = graft.textops.Dedup
+        .minhashPairs(docs, "doc_id", "text", 0.8)
+        .select(col("id_a"), col("id_b"))
+      graft.eval.Metrics.blockingQuality(docs, "doc_id", truth, found)
+    }),
 
     // SimHash near-dup pairs (banded 64-bit, Hamming<=3). FULLY oracle-backed:
     // token hashes are md5-hex-digit-derived (portable — DuckDB re-derives
@@ -654,6 +678,13 @@ object SparkEntry {
     // Gopher-style intra-doc repetition stats — pure per-row expressions
     "tx5_repetition" -> ((s, dir) =>
       graft.textops.TextAnalysis.repetitionStats(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // TF-IDF keyphrases: top-3 most characteristic terms per document —
+    // df derives from the tf table (one corpus scan), top-k plans as
+    // WindowGroupLimit (PlanSpec); ln/multiply replay bit-identically in
+    // the oracle (the kg14 PMI precedent)
+    "tx11_keyphrases" -> ((s, dir) => graft.textops.Keyphrases
+      .tfidfTopK(tbl(s, dir, "documents"), "doc_id", "text", k = 3)),
 
     // ---- training-data pipeline: deterministic sampling ----
     // hash sampling = the 100 TB sampling method: the keep set is a pure
@@ -1396,6 +1427,21 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM td t
          |  WHERE t.subj = e.entity AND t.pred = e.predicate)""".stripMargin,
 
+    "kg27_focus" ->
+      s"""$triplesCte,
+         |pt AS (SELECT t.conv_id, t.turn_idx, tr.subj
+         |  FROM transcripts t LEFT JOIN triples tr
+         |    ON t.conv_id = tr.conv_id AND t.turn_idx = tr.turn_idx)
+         |SELECT conv_id, turn_idx,
+         |  last_value(subj IGNORE NULLS) OVER w AS focus_entity,
+         |  max(CASE WHEN subj IS NOT NULL THEN turn_idx END) OVER w
+         |    AS focus_turn,
+         |  turn_idx - max(CASE WHEN subj IS NOT NULL THEN turn_idx END) OVER w
+         |    AS turns_since
+         |FROM pt
+         |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "kg22_entity_types" ->
       s"""$triplesCte,
          |m AS (SELECT subj AS entity, subj_type AS etype FROM triples
@@ -1540,6 +1586,34 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000, text FROM documents)
         |GROUP BY trim(lower(text))""".stripMargin,
+
+    "er1_blocking_quality" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |t AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))]) AS s
+        |  FROM d),
+        |f AS (SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |nt AS (SELECT count(*) AS n_true_pairs FROM t),
+        |nf AS (SELECT count(*) AS n_found_pairs FROM f),
+        |nc AS (SELECT count(*) AS n_caught FROM t
+        |  WHERE EXISTS (SELECT 1 FROM f
+        |                WHERE f.id_a = t.id_a AND f.id_b = t.id_b))
+        |SELECT n_docs, n_true_pairs, n_found_pairs, n_caught,
+        |  round(CASE WHEN n_true_pairs = 0 THEN 1.0
+        |    ELSE CAST(n_caught AS DOUBLE) / n_true_pairs END, 6)
+        |    AS pairs_completeness,
+        |  round(1.0 - CAST(n_found_pairs AS DOUBLE) /
+        |    (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2.0), 6)
+        |    AS reduction_ratio
+        |FROM nd, nt, nf, nc""".stripMargin,
 
     "dd2_minhash_pairs" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1835,6 +1909,23 @@ object SparkEntry {
         |    PARTITION BY shard, CAST(floor((cum - n_tok) / 200.0) AS BIGINT)
         |    ORDER BY k) AS INT) AS pack_pos
         |FROM c""".stripMargin,
+
+    "tx11_keyphrases" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), ' +')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE len(term) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    CAST(tf.tf AS DOUBLE) * ln((SELECT n FROM n) / CAST(dfq.df AS DOUBLE)) AS s
+        |  FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, rank, term, tf, df, round(s, 6) AS tfidf FROM (
+        |  SELECT doc_id, term, tf, df, s,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY s DESC, term ASC) AS rank
+        |  FROM sc) WHERE rank <= 3""".stripMargin,
 
     "tx5_repetition" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS w FROM documents),

@@ -85,4 +85,43 @@ object Metrics {
       d.join(g, keyCols, "left_anti").count(),
       g.join(d, keyCols, "left_anti").count())
   }
+
+  /**
+   * Blocking-quality audit — the ER-engineering measurement layer for the
+   * LSH blocking the canonicalization stage depends on: pairs
+   * completeness (what fraction of the ground-truth duplicate pairs the
+   * blocker surfaced) and reduction ratio (what fraction of the n·(n-1)/2
+   * all-pairs space it never had to look at). The standard trade-off pair
+   * from the record-linkage literature; a blocker is only as good as
+   * BOTH numbers together (completeness 1.0 is trivial at reduction 0).
+   *
+   * 100 TB shape: `truth` and `found` collapse to one row each via
+   * partial-agg counts; the only distributed work is one semi join on the
+   * canonical (id_a, id_b) pair key; the final arithmetic runs on a
+   * four-way cross join of one-row relations (all broadcast). No driver
+   * action, no collect.
+   *
+   * @param truth  ground-truth duplicate pairs (id_a, id_b), id_a < id_b
+   * @param found  blocker-surfaced pairs in the same canonical form
+   * @return one row: (n_docs, n_true_pairs, n_found_pairs, n_caught,
+   *         pairs_completeness, reduction_ratio), ratios 6 dp;
+   *         completeness is 1.0 by convention on an empty truth set.
+   */
+  def blockingQuality(docs: DataFrame, idCol: String,
+                      truth: DataFrame, found: DataFrame): DataFrame = {
+    val nd = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val nt = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val nf = found.agg(count(lit(1)).as("n_found_pairs"))
+    val nc = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+    nd.crossJoin(nt).crossJoin(nf).crossJoin(nc)
+      .select(col("n_docs"), col("n_true_pairs"), col("n_found_pairs"),
+        col("n_caught"),
+        round(when(col("n_true_pairs") === 0, 1.0)
+          .otherwise(col("n_caught").cast("double") / col("n_true_pairs")), 6)
+          .as("pairs_completeness"),
+        round(lit(1.0) - col("n_found_pairs").cast("double") /
+          (col("n_docs").cast("double") * (col("n_docs") - 1) / 2.0), 6)
+          .as("reduction_ratio"))
+  }
 }

@@ -52,6 +52,23 @@ object Extraction {
   def mintUri(entityType: Column, normForm: Column): Column =
     concat(lit("graft://"), entityType, lit("/"), sha2(concat_ws("|", entityType, normForm), 256))
 
+  /** The (subject, object, guard) expressions for one rule over the
+    * `text` column — the deterministic first-occurrence split (see the
+    * CONTRACT comment in [[triplesRaw]]), shared by [[triplesRaw]] and
+    * [[Discourse.focusTrack]] so the two can never drift. */
+  private[extract] def ruleSplit(r: Rule): (Column, Column, Column) = {
+    val subj = substring_index(col("text"), r.infix, 1)
+    val objPos = length(subj) + lit(r.infix.length + 1)
+    val objLen = length(col("text")) - objPos
+    val obj = col("text").substr(objPos, objLen)
+    val guard = col("text").contains(r.infix) &&
+      col("text").endsWith(".") &&
+      !col("text").contains("\n") &&
+      length(subj).between(1, 128) &&
+      objLen.between(1, 128)
+    (subj, obj, guard)
+  }
+
   /**
    * Extract raw triples with provenance in ONE scan of the source: every
    * rule is evaluated as a nullable struct per row, non-matches filtered
@@ -83,15 +100,7 @@ object Extraction {
       // edge case in KGPipelineSpec ("multi-infix text beyond the length
       // bound"). Single-occurrence texts — everything the fixtures and
       // oracle can produce — are split identically by both formulations.
-      val subj = substring_index(col("text"), r.infix, 1)
-      val objPos = length(subj) + lit(r.infix.length + 1)
-      val objLen = length(col("text")) - objPos
-      val obj = col("text").substr(objPos, objLen)
-      val guard = col("text").contains(r.infix) &&
-        col("text").endsWith(".") &&
-        !col("text").contains("\n") &&
-        length(subj).between(1, 128) &&
-        objLen.between(1, 128)
+      val (subj, obj, guard) = ruleSplit(r)
       when(guard,
         struct(
           subj.as("subj_raw"),

@@ -1,0 +1,58 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * TF-IDF keyphrase extraction — the top-k most characteristic terms per
+ * document: score(d, t) = tf(d, t) * ln(N / df(t)). The per-document
+ * keyword summary that topic tagging, dedup explanation ("these two docs
+ * share their top terms"), and retrieval indexing start from; the
+ * document-grain companion to [[Vocab]]'s corpus-grain table and
+ * [[Bm25]]'s query-time scoring.
+ *
+ * 100 TB shape: one explode + partial-agg shuffle keyed by (doc, term)
+ * builds tf; df DERIVES from tf by a second vocab-keyed partial agg (the
+ * corpus is scanned once — same posture as vb1's total); N is a one-row
+ * broadcast; the tf–df join shuffles on term (vocab-keyed, Zipf-collapsed
+ * by map-side combine); the final top-k per document plans as
+ * WindowGroupLimit (per-partition k-heaps BEFORE the doc-keyed exchange,
+ * PlanSpec-pinned), never a full per-doc sort materialization.
+ * Deterministic: score ties break on the term itself, and the double
+ * arithmetic (one multiply, one ln — both correctly rounded) replays
+ * bit-identically in the DuckDB oracle, the kg14 PMI precedent.
+ *
+ * No reference analog; part of the training-data operator family.
+ */
+object Keyphrases {
+
+  /**
+   * @return (doc_id, rank, term, tf, df, tfidf) — `k` rows per document
+   *         (fewer when it has under k distinct terms), rank 1..k by
+   *         (score desc, term asc), `tfidf` rounded to 6 dp.
+   */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3,
+                normalize: Boolean = true): DataFrame = {
+    require(k >= 1, s"k $k")
+    val text = if (normalize) lower(col(textCol)) else col(textCol)
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(text, " +")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // df(t) = #docs containing t == #rows of tf at term t: no second
+    // corpus scan, just a vocab-keyed rollup of the tf table
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("_n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("_score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("_score", col("tf").cast("double") *
+        log(col("_n").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), round(col("_score"), 6).as("tfidf"))
+  }
+}

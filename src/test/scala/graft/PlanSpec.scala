@@ -391,6 +391,41 @@ class PlanSpec extends SparkSpec {
       s"got ${bandJoins.size}")
   }
 
+  test("kg27 focus: ONE Exchange + ONE Sort on conv_id, both windows fused into one Window operator") {
+    val p = plan(SparkEntry.queries("kg27_focus")(spark, dir))
+    // the running focus (last ignoreNulls) and focus_turn (max-when) share
+    // the same partition-by + order-by + running frame, so Catalyst must
+    // plan ONE Window over ONE Exchange(conv_id) + ONE Sort — a second of
+    // either means the shared-frame fusion broke and the transcript stream
+    // shuffles or sorts twice at 100 TB
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 1,
+      s"expected exactly one Exchange (hash on conv_id); got:\n${p.take(1200)}")
+    assert("Sort \\(\\d+\\)".r.findAllIn(p).size == 1,
+      s"both running aggregates must share one sort:\n${p.take(1200)}")
+    assert("(?m)^\\(\\d+\\) Window".r.findAllIn(p).size == 1,
+      s"expected one fused Window operator:\n${p.take(1200)}")
+  }
+
+  test("tx11 keyphrases: top-k per doc plans as WindowGroupLimit, df reuses the tf table") {
+    val p = plan(SparkEntry.queries("tx11_keyphrases")(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-doc top-k must plan as a group-limit, not a full rank: ${p.take(1000)}")
+    // df derives from the tf table — exactly ONE Generate (the tokenize
+    // explode); a second means the corpus is re-exploded for df
+    assert("(?m)^\\(\\d+\\) Generate".r.findAllIn(p).size == 1,
+      s"df must derive from the tf table, not a second explode:\n${p.take(1200)}")
+  }
+
+  test("er1 blocking quality: one-row aggregates broadcast, documents never cross-joined") {
+    val p = plan(SparkEntry.queries("er1_blocking_quality")(spark, dir))
+    // the n_docs x n_true x n_found x n_caught combination is a cross join
+    // of ONE-ROW relations — it must plan as broadcast nested loops, never
+    // a CartesianProduct (which would mean a distributed relation leaked
+    // into the scalar arithmetic)
+    assert(!p.contains("CartesianProduct"),
+      s"scalar combine must broadcast, not cartesian: ${p.take(1200)}")
+  }
+
   test("GraftExtensions: spark.sql.extensions registers the native functions") {
     // a derived session over the shared SparkContext, built THROUGH the
     // extensions hook (the spark-submit deployment path). getOrCreate
