@@ -369,9 +369,50 @@ object SparkEntry {
     // discourse focus tracking: per turn, the most recently mentioned
     // subject at or before it — the anaphora/coreference substrate for
     // dialogue KG construction (chatter turns inherit the running focus);
-    // one scan + one conv-keyed window (single Exchange + Sort, PlanSpec)
+    // the operator adds ONE conv-keyed Exchange + Sort + fused Window over
+    // its input (PlanSpec pins it at the operator level; the extra shuffle
+    // visible here belongs to the eventsTranscripts fixture adapter's
+    // row_number derivation of turn_idx)
     "kg27_focus" -> ((s, dir) =>
       graft.extract.Discourse.focusTrack(eventsTranscripts(s, dir))),
+
+    // anaphora-resolved extraction: chatter turns are deterministically
+    // rewritten into pronoun-subject sentences (the planted-construction
+    // pattern — the oracle replays the rewrite), then pronoun subjects
+    // resolve to the most recent non-pronoun subject strictly before the
+    // turn; same one-conv-window operator shape as kg27 (PlanSpec pins the
+    // operator over a plain input)
+    "kg28_coref" -> ((s, dir) => {
+      val pron = element_at(
+        array(lit("He"), lit("She"), lit("It"), lit("They")),
+        (pmod(col("turn_idx"), lit(4)) + 1).cast("int"))
+      val dial = eventsTranscripts(s, dir).withColumn("text",
+        when(col("text").startsWith("Please"),
+          concat(pron, lit(" works at org "),
+            pmod(col("turn_idx"), lit(20)).cast("string"), lit(".")))
+          .otherwise(col("text")))
+      graft.extract.Discourse.resolveAnaphora(dial)
+    }),
+
+    // entity->tool affinity: which tools run while an entity is the
+    // conversation's focus — the KG edge agent transcripts have and
+    // document corpora don't; focus window + one (entity, tool) count agg
+    "kg29_entity_tools" -> ((s, dir) =>
+      graft.extract.Discourse.toolAffinity(eventsTranscripts(s, dir))),
+
+    // KG snapshot delta: triples added/removed/kept between an early
+    // transcript window (turn_idx < 10) and the rest — the incremental
+    // maintenance primitive (export deltas, not full graphs, at 10^10
+    // triples); one flag-union + one agg, no join (PlanSpec)
+    "kg30_delta" -> ((s, dir) => {
+      val t = eventsTranscripts(s, dir)
+      def tr(d: org.apache.spark.sql.DataFrame) = Extraction.triplesRaw(d)
+        .select(col("subj_raw").as("subj"), col("pred"),
+          col("obj_raw").as("obj"))
+      graft.graph.KGDelta.diff(
+        tr(t.filter(col("turn_idx") < 10)),
+        tr(t.filter(col("turn_idx") >= 10)))
+    }),
 
     "kg22_entity_types" -> ((s, dir) => {
       val t = Extraction.triplesRaw(eventsTranscripts(s, dir))
@@ -680,9 +721,10 @@ object SparkEntry {
       graft.textops.TextAnalysis.repetitionStats(tbl(s, dir, "documents"), "doc_id", "text")),
 
     // TF-IDF keyphrases: top-3 most characteristic terms per document —
-    // df derives from the tf table (one corpus scan), top-k plans as
+    // vocab-sized df broadcasts into the tf join, top-k plans as
     // WindowGroupLimit (PlanSpec); ln/multiply replay bit-identically in
-    // the oracle (the kg14 PMI precedent)
+    // the oracle (the kg14 PMI precedent); the persisted-tf scale path is
+    // Keyphrases.tfidfTopKFromTf
     "tx11_keyphrases" -> ((s, dir) => graft.textops.Keyphrases
       .tfidfTopK(tbl(s, dir, "documents"), "doc_id", "text", k = 3)),
 
@@ -1441,6 +1483,75 @@ object SparkEntry {
          |FROM pt
          |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "kg28_coref" ->
+      s"""WITH transcripts AS ($T),
+         |dial AS (SELECT conv_id, turn_idx,
+         |  CASE WHEN text LIKE 'Please%'
+         |    THEN ['He','She','It','They'][(turn_idx % 4) + 1] ||
+         |      ' works at org ' || CAST(turn_idx % 20 AS VARCHAR) || '.'
+         |    ELSE text END AS text
+         |  FROM transcripts),
+         |m AS (SELECT conv_id, turn_idx,
+         |  regexp_extract(text, '^(.*) (?:works at|lives in|reports to|is based in) (.*)\\.$$', 1) AS subj,
+         |  CASE WHEN text LIKE '% works at %' THEN 'works_at'
+         |       WHEN text LIKE '% lives in %' THEN 'lives_in'
+         |       WHEN text LIKE '% reports to %' THEN 'reports_to'
+         |       WHEN text LIKE '% is based in %' THEN 'based_in' END AS pred,
+         |  regexp_extract(text, '^(.*) (?:works at|lives in|reports to|is based in) (.*)\\.$$', 2) AS obj,
+         |  CASE WHEN text LIKE '% is based in %' THEN 'org' ELSE 'person' END AS subj_type,
+         |  CASE WHEN text LIKE '% works at %' THEN 'org'
+         |       WHEN text LIKE '% reports to %' THEN 'person' ELSE 'city' END AS obj_type
+         |  FROM dial),
+         |t2 AS (SELECT *, CASE WHEN pred IS NOT NULL
+         |    AND lower(subj) IN ('he','she','it','they') THEN 1 ELSE 0 END AS pro
+         |  FROM m),
+         |r AS (SELECT conv_id, turn_idx, subj, pred, obj, subj_type, obj_type, pro,
+         |  last_value(CASE WHEN pred IS NOT NULL AND pro = 0 THEN subj END IGNORE NULLS)
+         |    OVER w AS f_subj,
+         |  last_value(CASE WHEN pred IS NOT NULL AND pro = 0 THEN subj_type END IGNORE NULLS)
+         |    OVER w AS f_type
+         |  FROM t2
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT conv_id, turn_idx,
+         |  CASE WHEN pro = 1 THEN f_subj ELSE subj END AS subj,
+         |  CASE WHEN pro = 1 THEN f_type ELSE subj_type END AS subj_type,
+         |  pred, obj, obj_type, pro AS resolved
+         |FROM r
+         |WHERE pred IS NOT NULL AND (pro = 0 OR f_subj IS NOT NULL)""".stripMargin,
+
+    "kg29_entity_tools" ->
+      s"""WITH transcripts AS ($T),
+         |a AS (SELECT conv_id, turn_idx, role, tool,
+         |  CASE WHEN text NOT LIKE 'Please%' THEN
+         |    regexp_extract(text, '^(.*) (?:works at|lives in|reports to|is based in) (.*)\\.$$', 1) END AS subj,
+         |  CASE WHEN text NOT LIKE 'Please%' THEN
+         |    CASE WHEN text LIKE '% is based in %' THEN 'org' ELSE 'person' END END AS styp
+         |  FROM transcripts),
+         |f AS (SELECT role, tool,
+         |  last_value(subj IGNORE NULLS) OVER w AS entity,
+         |  last_value(styp IGNORE NULLS) OVER w AS entity_type
+         |  FROM a
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT entity, entity_type, tool, count(*) AS n_calls
+         |FROM f
+         |WHERE role = 'tool' AND tool IS NOT NULL AND entity IS NOT NULL
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "kg30_delta" ->
+      s"""$triplesCte,
+         |o AS (SELECT DISTINCT subj, pred, obj FROM triples WHERE turn_idx < 10),
+         |nn AS (SELECT DISTINCT subj, pred, obj FROM triples WHERE turn_idx >= 10),
+         |u AS (SELECT subj, pred, obj, 1 AS fo, 0 AS fn FROM o
+         |  UNION ALL SELECT subj, pred, obj, 0, 1 FROM nn),
+         |g AS (SELECT subj, pred, obj, max(fo) AS fo, max(fn) AS fn
+         |  FROM u GROUP BY 1, 2, 3)
+         |SELECT subj, pred, obj,
+         |  CASE WHEN fo = 1 AND fn = 1 THEN 'kept'
+         |       WHEN fn = 1 THEN 'added' ELSE 'removed' END AS status
+         |FROM g""".stripMargin,
 
     "kg22_entity_types" ->
       s"""$triplesCte,

@@ -101,6 +101,67 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("_digest")
       .drop("_digest")
 
+  case class TurnMatch(conv_id: String, turn_idx: Int, subj: String,
+                       obj: String, pred: String, subj_type: String,
+                       obj_type: String)
+  case class FocusState(subj: String, subj_type: String, maxTurn: Int)
+  case class ResolvedTriple(conv_id: String, turn_idx: Int, subj: String,
+                            subj_type: String, pred: String, obj: String,
+                            obj_type: String, resolved: Int)
+
+  /**
+   * Streaming anaphora-resolved extraction — the streaming lift of
+   * [[graft.extract.Discourse.resolveAnaphora]]: per-conversation focus
+   * state lives in the state store (`flatMapGroupsWithState`), pronoun
+   * subjects resolve against it, and resolution works ACROSS micro-batches
+   * (turn 500 in today's file resolves against an antecedent ingested
+   * yesterday — the window formulation cannot do that without re-reading
+   * history).
+   *
+   * Rule matching happens BEFORE the stateful operator, as the exact batch
+   * projection ([[graft.extract.Discourse.matchStruct]], whole-stage
+   * codegen'd) — the lambda only advances an O(1) focus per conversation
+   * and never touches text. Within a micro-batch the group's turns are
+   * sorted by turn_idx; across batches turns are assumed to arrive in
+   * conversation order (true for append-style transcript producers) —
+   * late cross-batch turns resolve against the newest focus, the standard
+   * streaming-coreference tradeoff. Equality with the batch operator on
+   * in-order input is spec-asserted, including a split-across-batches run.
+   */
+  def resolvedTriplesStream(spark: SparkSession, inputDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val m = graft.extract.Discourse.matchStruct
+    spark.readStream.schema(transcriptSchema).parquet(inputDir)
+      .select(col("conv_id"), col("turn_idx"), m.as("m"))
+      .select(col("conv_id"), col("turn_idx"), col("m.subj"), col("m.obj"),
+        col("m.pred"), col("m.subj_type"), col("m.obj_type"))
+      .as[TurnMatch]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[FocusState, ResolvedTriple](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (conv: String, events: Iterator[TurnMatch], state: GroupState[FocusState]) =>
+          var focus = state.getOption
+          val out = events.toSeq.sortBy(_.turn_idx).flatMap { e =>
+            if (e.pred == null) None // chatter / no rule fired
+            else {
+              val pro = e.subj != null &&
+                graft.extract.Discourse.pronouns.contains(e.subj.toLowerCase)
+              if (pro)
+                focus.map(f => ResolvedTriple(conv, e.turn_idx, f.subj,
+                  f.subj_type, e.pred, e.obj, e.obj_type, resolved = 1))
+              else {
+                focus = Some(FocusState(e.subj, e.subj_type, e.turn_idx))
+                Some(ResolvedTriple(conv, e.turn_idx, e.subj, e.subj_type,
+                  e.pred, e.obj, e.obj_type, resolved = 0))
+              }
+            }
+          }
+          focus.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
   case class TurnEvent(conv_id: String, turn_idx: Int, role: String,
                        ts: java.sql.Timestamp)
   case class ConvState(nTurns: Long, maxTurnIdx: Int, nUserTurns: Long,

@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
  * [[Bm25]]'s query-time scoring.
  *
  * 100 TB shape: one explode + partial-agg shuffle keyed by (doc, term)
- * builds tf; df DERIVES from tf by a second vocab-keyed partial agg (the
- * corpus is scanned once — same posture as vb1's total); N is a one-row
- * broadcast; the tf–df join shuffles on term (vocab-keyed, Zipf-collapsed
- * by map-side combine); the final top-k per document plans as
- * WindowGroupLimit (per-partition k-heaps BEFORE the doc-keyed exchange,
- * PlanSpec-pinned), never a full per-doc sort materialization.
+ * builds tf; df derives from tf LOGICALLY by a vocab-keyed rollup, and the
+ * vocab-sized result broadcasts into the tf join; N is a one-row
+ * broadcast; the final top-k per document plans as WindowGroupLimit
+ * (per-partition k-heaps BEFORE the doc-keyed exchange, PlanSpec-pinned),
+ * never a full per-doc sort materialization. PHYSICAL caveat, measured:
+ * Catalyst plans a tree, not a DAG — the df branch duplicates the tf
+ * subtree, and column pruning makes the two exchange subtrees differ, so
+ * AQE's exchange reuse does NOT collapse them: the corpus is tokenized
+ * twice in this one-shot form. (The alternatives are worse at scale: a
+ * count-over-Window(term) buffers an entire stopword's group per
+ * partition — OOM on Zipf heads; caching tf pins a corpus-scale table.)
+ * At pipeline scale, persist tf once and use [[tfidfTopKFromTf]] — tf is
+ * a table you want on disk anyway, and df then truly derives from it.
  * Deterministic: score ties break on the term itself, and the double
  * arithmetic (one multiply, one ln — both correctly rounded) replays
  * bit-identically in the DuckDB oracle, the kg14 PMI precedent.
@@ -34,16 +41,25 @@ object Keyphrases {
    */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3,
                 normalize: Boolean = true): DataFrame = {
-    require(k >= 1, s"k $k")
     val text = if (normalize) lower(col(textCol)) else col(textCol)
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(split(text, " +")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // df(t) = #docs containing t == #rows of tf at term t: no second
-    // corpus scan, just a vocab-keyed rollup of the tf table
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).as("_n"))
+    tfidfTopKFromTf(tf, n, k)
+  }
+
+  /** The scale path: score from an already-materialized tf table
+    * (doc_id, term, tf) — e.g. one persisted to parquet by an earlier
+    * pipeline stage — so df's rollup reads tf instead of re-tokenizing
+    * the corpus. `nDocs` is a one-row (count) relation. */
+  def tfidfTopKFromTf(tf: DataFrame, nDocs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k $k")
+    // df(t) = #docs containing t == #rows of tf at term t: a vocab-keyed
+    // rollup of tf, broadcast back into the join below
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = nDocs.toDF("_n")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("_score").desc, col("term").asc)
     tf.join(dfreq, "term")

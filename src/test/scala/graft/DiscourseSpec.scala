@@ -72,6 +72,85 @@ class DiscourseSpec extends SparkSpec {
     assert(got.toSeq == ref)
   }
 
+  private def runCoref(rows: Seq[(String, Int, String)]) =
+    Discourse.resolveAnaphora(tdf(rows))
+      .as[(String, Int, String, String, String, String, String, Int)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("anaphora: pronoun subjects resolve to the last non-pronoun antecedent") {
+    val rows = Seq(
+      ("c1", 0, "user 7 works at org 3."),
+      ("c1", 1, "He lives in city 2."),
+      ("c1", 2, "org 3 is based in city 1."),
+      ("c1", 3, "It works at org 9."),         // resolves to org 3, type org
+      ("c1", 4, "Please summarize the previous discussion."),
+      ("c1", 5, "They reports to user 8."))    // focus unchanged by turns 3-4
+    assert(runCoref(rows) == Seq(
+      ("c1", 0, "user 7", "person", "works_at", "org 3", "org", 0),
+      ("c1", 1, "user 7", "person", "lives_in", "city 2", "city", 1),
+      ("c1", 2, "org 3", "org", "based_in", "city 1", "city", 0),
+      ("c1", 3, "org 3", "org", "works_at", "org 9", "org", 1),
+      ("c1", 5, "org 3", "org", "reports_to", "user 8", "person", 1)))
+  }
+
+  test("anaphora: pronouns without an antecedent are dropped; focus never crosses conversations") {
+    val rows = Seq(
+      ("c1", 0, "She works at org 1."),        // no antecedent -> dropped
+      ("c1", 1, "user 2 works at org 1."),
+      ("c2", 0, "He works at org 5."))         // c1's focus must not leak
+    assert(runCoref(rows) == Seq(
+      ("c1", 1, "user 2", "person", "works_at", "org 1", "org", 0)))
+  }
+
+  test("anaphora: a pronoun turn does not move the focus (next pronoun sees the same antecedent)") {
+    val rows = Seq(
+      ("c1", 0, "user 1 works at org 2."),
+      ("c1", 1, "He works at org 3."),
+      ("c1", 2, "He works at org 4."))
+    val got = runCoref(rows)
+    assert(got.map(_._3) == Seq("user 1", "user 1", "user 1"))
+    assert(got.map(_._8) == Seq(0, 1, 1))
+  }
+
+  test("anaphora: repartition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val rows = for { c <- 0 until 6; t <- 0 until 40 } yield
+      (s"c$c", t, rnd.nextInt(4) match {
+        case 0 => s"user ${rnd.nextInt(5)} works at org ${rnd.nextInt(4)}."
+        case 1 => s"org ${rnd.nextInt(4)} is based in city ${rnd.nextInt(3)}."
+        case 2 => s"${Seq("He", "She", "It", "They")(rnd.nextInt(4))} lives in city ${rnd.nextInt(3)}."
+        case _ => "Please summarize the previous discussion."
+      })
+    val got = runCoref(rows)
+    val gotRep = Discourse.resolveAnaphora(tdf(rows).repartition(7))
+      .as[(String, Int, String, String, String, String, String, Int)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == gotRep && got.nonEmpty)
+  }
+
+  test("toolAffinity: tool calls attribute to the focus entity; pre-mention calls drop") {
+    val rows = Seq(
+      ("c1", 0, "user", "Please summarize the previous discussion.", "db_query"),   // no focus yet -> dropped
+      ("c1", 1, "user", "user 7 works at org 3.", null),
+      ("c1", 2, "tool", "Please summarize the previous discussion.", "db_query"),   // -> user 7
+      ("c1", 3, "tool", "org 3 is based in city 1.", "web_search"),                 // own mention -> org 3
+      ("c1", 4, "tool", "Please summarize the previous discussion.", "db_query"),   // -> org 3
+      ("c2", 0, "tool", "user 9 lives in city 2.", "db_query"))                     // own mention -> user 9
+      .map { case (c, i, r, t, tool) => (c, i, r, t, tool) }
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    // row 0 has role=user so it is not a tool call anyway; make it one
+    val withToolRole = rows.withColumn("role",
+      when(col("conv_id") === "c1" && col("turn_idx") === 0, "tool")
+        .otherwise(col("role")))
+    val got = Discourse.toolAffinity(withToolRole)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("user 7", "person", "db_query", 1L),
+      ("org 3", "org", "web_search", 1L),
+      ("org 3", "org", "db_query", 1L),
+      ("user 9", "person", "db_query", 1L)))
+  }
+
   test("null text and empty conversations are safe") {
     val rows = Seq(("c1", 0, null: String), ("c1", 1, "user 1 works at org 2."))
     val got = Discourse.focusTrack(tdf(rows))

@@ -39,6 +39,22 @@ class KeyphrasesSpec extends SparkSpec {
       (2L, 1L) -> "aa", (2L, 2L) -> "bb"))
   }
 
+  test("persisted-tf scale path equals the one-shot path") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("kp_tf").toString
+    val tf = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " +")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.write.mode("overwrite").parquet(dir)
+    val n = docs.agg(countDistinct(col("doc_id")))
+    val fromTf = Keyphrases.tfidfTopKFromTf(spark.read.parquet(dir), n, k = 3)
+      .as[(Long, Long, String, Long, Long, Double)].collect().toSet
+    val oneShot = Keyphrases.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, String, Long, Long, Double)].collect().toSet
+    assert(fromTf == oneShot && fromTf.nonEmpty)
+  }
+
   test("k bounds output; normalization lowercases; repartition-invariant") {
     val d = Seq((1L, "Alpha beta gamma delta ALPHA")).toDF("doc_id", "text")
     val one = Keyphrases.tfidfTopK(d, "doc_id", "text", k = 1)

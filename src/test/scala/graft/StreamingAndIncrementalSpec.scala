@@ -115,6 +115,47 @@ class StreamingAndIncrementalSpec extends SparkSpec {
     assert(got("cA") == 2L && got("cB") == 1L)
   }
 
+  test("streaming anaphora resolution == batch; focus carries across micro-batch boundaries") {
+    val base = Files.createTempDirectory("graft_coref").toString
+    val in = s"$base/in"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    def tdf(rows: Seq[(String, Int, String)]) =
+      rows.map { case (c, i, t) => (c, i, "user", t, null: String) }
+        .toDF("conv_id", "turn_idx", "role", "text", "tool")
+        .withColumn("ts", lit(null).cast("timestamp"))
+    // file 1: antecedents; file 2: pronouns that must resolve against
+    // state established by file 1 (a window over one batch cannot do this)
+    val f1 = Seq(
+      ("c1", 0, "user 1 works at org 2."),
+      ("c1", 1, "He lives in city 3."),
+      ("c2", 0, "She works at org 9."), // unresolvable forever
+      ("c2", 1, "org 4 is based in city 1."))
+    val f2 = Seq(
+      ("c1", 2, "They works at org 7."), // -> user 1 via file-1 state
+      ("c2", 2, "It reports to user 5."), // -> org 4 via file-1 state
+      ("c2", 3, "user 6 lives in city 2."))
+    def run(): Unit = {
+      val q = StreamingIngest.resolvedTriplesStream(spark, in).writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    tdf(f1).write.mode("append").parquet(in); run()
+    tdf(f2).write.mode("append").parquet(in); run()
+    val streamed = spark.read.parquet(sink)
+      .as[(String, Int, String, String, String, String, String, Int)]
+      .collect().toSet
+    val batch = graft.extract.Discourse.resolveAnaphora(tdf(f1 ++ f2))
+      .as[(String, Int, String, String, String, String, String, Int)]
+      .collect().toSet
+    assert(streamed == batch && streamed.exists(_._8 == 1),
+      s"streamed=$streamed\nbatch=$batch")
+    // the cross-batch resolutions specifically
+    assert(streamed.contains(("c1", 2, "user 1", "person", "works_at", "org 7", "org", 1)))
+    assert(streamed.contains(("c2", 2, "org 4", "org", "reports_to", "user 5", "person", 1)))
+  }
+
   test("streaming foreachBatch merge == batch mergeIncrement state, resume-safe") {
     val base = Files.createTempDirectory("graft_smerge").toString
     val in = s"$base/in"; val ckpt = s"$base/ckpt"
