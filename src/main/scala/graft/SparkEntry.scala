@@ -414,6 +414,17 @@ object SparkEntry {
         tr(t.filter(col("turn_idx") >= 10)))
     }),
 
+    // hubs & authorities over the constructed KG: 5 fixed L1-normalized
+    // HITS iterations on the distinct (subj -> obj) edge set — separates
+    // referrer entities from referent entities, the link-analysis
+    // complement of kg9's PageRank; the oracle unrolls the identical
+    // half-steps (normalizers are one-row SUM aggregates, broadcast)
+    "kg31_hits" -> ((s, dir) => graft.graph.Hits.run(
+      eventsPipeline(s, dir).tripleSet
+        .filter(col("subj").isNotNull && col("obj").isNotNull)
+        .select(col("subj").as("src"), col("obj").as("dst")),
+      iterations = 5)),
+
     "kg22_entity_types" -> ((s, dir) => {
       val t = Extraction.triplesRaw(eventsTranscripts(s, dir))
       val m = t.select(col("subj_norm").as("entity"), col("subj_type").as("etype"))
@@ -528,6 +539,17 @@ object SparkEntry {
         .minhashPairs(docs, "doc_id", "text", 0.8)
         .select(col("id_a"), col("id_b"))
       graft.eval.Metrics.blockingQuality(docs, "doc_id", truth, found)
+    }),
+
+    // sorted-neighborhood blocking (Hernández-Stolfo): pair each doc with
+    // its next 3 neighbors in (key, id) order within a 2-char key-prefix
+    // bucket — the structural-pair-budget blocker beside dd2's LSH; the
+    // pair list is ONE window + lead projection, no self-join (PlanSpec)
+    "er2_sorted_neighborhood" -> ((s, dir) => {
+      val key = substring(lower(col("text")), 1, 24)
+      graft.link.SortedNeighborhood.pairs(
+        tbl(s, dir, "documents"), "doc_id",
+        sortKey = key, bucketKey = substring(key, 1, 2), windowSize = 4)
     }),
 
     // SimHash near-dup pairs (banded 64-bit, Hamming<=3). FULLY oracle-backed:
@@ -727,6 +749,12 @@ object SparkEntry {
     // Keyphrases.tfidfTopKFromTf
     "tx11_keyphrases" -> ((s, dir) => graft.textops.Keyphrases
       .tfidfTopK(tbl(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // Flesch reading ease per doc (deterministic vowel-run syllables) —
+    // the difficulty/curriculum signal beside tx2's quality score; a pure
+    // per-row projection, plan-pinned exchange-free
+    "tx12_readability" -> ((s, dir) => graft.textops.Readability
+      .flesch(tbl(s, dir, "documents"), "doc_id", "text")),
 
     // ---- training-data pipeline: deterministic sampling ----
     // hash sampling = the 100 TB sampling method: the keep set is a pure
@@ -1553,6 +1581,39 @@ object SparkEntry {
          |       WHEN fn = 1 THEN 'added' ELSE 'removed' END AS status
          |FROM g""".stripMargin,
 
+    "kg31_hits" -> {
+      // 5 unrolled HITS iterations (two L1-normalized half-steps each);
+      // AS MATERIALIZED because every step references its predecessor and
+      // its one-row normalizer twice — inlined CTEs would nest 4^iters
+      val steps = (1 to 5).map { k =>
+        val prev = s"a${k - 1}"
+        s"""h${k}r AS MATERIALIZED (SELECT e.src AS node, sum(a.s) AS raw
+           |  FROM $prev a JOIN e ON a.node = e.dst GROUP BY 1),
+           |h${k}z AS MATERIALIZED (SELECT sum(raw) AS z FROM h${k}r),
+           |h$k AS MATERIALIZED (SELECT nd.node,
+           |    CASE WHEN (SELECT z FROM h${k}z) > 0
+           |         THEN coalesce(r.raw, 0) / (SELECT z FROM h${k}z)
+           |         ELSE 0 END AS s
+           |  FROM nodes nd LEFT JOIN h${k}r r USING (node)),
+           |a${k}r AS MATERIALIZED (SELECT e.dst AS node, sum(h.s) AS raw
+           |  FROM h$k h JOIN e ON h.node = e.src GROUP BY 1),
+           |a${k}z AS MATERIALIZED (SELECT sum(raw) AS z FROM a${k}r),
+           |a$k AS MATERIALIZED (SELECT nd.node,
+           |    CASE WHEN (SELECT z FROM a${k}z) > 0
+           |         THEN coalesce(r.raw, 0) / (SELECT z FROM a${k}z)
+           |         ELSE 0 END AS s
+           |  FROM nodes nd LEFT JOIN a${k}r r USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""$triplesCte,
+         |e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+         |      WHERE subj IS NOT NULL AND obj IS NOT NULL),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |a0 AS MATERIALIZED (SELECT node, 1.0 AS s FROM nodes),
+         |$steps
+         |SELECT h5.node, round(h5.s, 6) AS hub, round(a5.s, 6) AS authority
+         |FROM h5 JOIN a5 USING (node)""".stripMargin
+    },
+
     "kg22_entity_types" ->
       s"""$triplesCte,
          |m AS (SELECT subj AS entity, subj_type AS etype FROM triples
@@ -1725,6 +1786,17 @@ object SparkEntry {
         |    (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2.0), 6)
         |    AS reduction_ratio
         |FROM nd, nt, nf, nc""".stripMargin,
+
+    "er2_sorted_neighborhood" ->
+      """WITH k AS (SELECT doc_id, substring(lower(text), 1, 24) AS key
+        |  FROM documents),
+        |s AS (SELECT doc_id, key, substring(key, 1, 2) AS b,
+        |    row_number() OVER (PARTITION BY substring(key, 1, 2)
+        |      ORDER BY key, doc_id) AS rn
+        |  FROM k)
+        |SELECT least(a.doc_id, c.doc_id) AS id_a,
+        |       greatest(a.doc_id, c.doc_id) AS id_b
+        |FROM s a JOIN s c ON a.b = c.b AND c.rn - a.rn BETWEEN 1 AND 3""".stripMargin,
 
     "dd2_minhash_pairs" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2037,6 +2109,29 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY s DESC, term ASC) AS rank
         |  FROM sc) WHERE rank <= 3""".stripMargin,
+
+    "tx12_readability" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(lower(text)), ' +'),
+        |      x -> len(x) > 0) AS ws,
+        |    regexp_replace(lower(text), '[aeiouy]+', 'V', 'g') AS runs
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS INT) AS n_words,
+        |    CAST(greatest(1, len(text)
+        |      - len(regexp_replace(text, '[.!?]', '', 'g'))) AS INT)
+        |      AS n_sentences,
+        |    CAST(len(runs) - len(replace(runs, 'V', ''))
+        |      + len(list_filter(ws, x -> NOT regexp_matches(x, '[aeiouy]')))
+        |      AS INT) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+        |  END AS flesch
+        |FROM m""".stripMargin,
 
     "tx5_repetition" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS w FROM documents),

@@ -481,6 +481,26 @@ class PlanSpec extends SparkSpec {
       s"scalar combine must broadcast, not cartesian: ${p.take(1200)}")
   }
 
+  test("er2 sorted-neighborhood: one Exchange + one Window, pairs are a projection — no self-join") {
+    val p = plan(SparkEntry.queries("er2_sorted_neighborhood")(spark, dir))
+    // the classic formulation self-joins rn-vs-rn; this one must emit the
+    // pair list from lead() columns — a shuffle on the bucket, an
+    // in-partition sort, a Window, a Generate, and NOTHING joined
+    assert(!p.contains("Join"), s"pair list must not self-join:\n${p.take(1200)}")
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 1,
+      s"expected exactly one Exchange (hash on bucket):\n${p.take(1200)}")
+    assert("(?m)^\\(\\d+\\) Window".r.findAllIn(p).size == 1,
+      s"all w-1 leads must fuse into one Window:\n${p.take(1200)}")
+  }
+
+  test("tx12 readability: a pure per-row projection — zero Exchange, codegen'd") {
+    val p = plan(SparkEntry.queries("tx12_readability")(spark, dir))
+    assert(!p.contains("Exchange"),
+      s"readability must not shuffle:\n${p.take(1200)}")
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("*")),
+      s"projection must be whole-stage codegen'd:\n${p.take(1200)}")
+  }
+
   test("GraftExtensions: spark.sql.extensions registers the native functions") {
     // a derived session over the shared SparkContext, built THROUGH the
     // extensions hook (the spark-submit deployment path). getOrCreate
