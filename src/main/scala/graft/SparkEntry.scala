@@ -425,6 +425,25 @@ object SparkEntry {
         .select(col("subj").as("src"), col("obj").as("dst")),
       iterations = 5)),
 
+    // temporal validity intervals: per-triple observation days coalesce
+    // into maximal runs with gaps > 3 days splitting intervals — the
+    // temporal-KG materialization downstream of kg15 provenance; distinct
+    // (triple, day) FIRST (map-side combine kills raw multiplicity), then
+    // one window exchange; the final agg reuses the window partitioning
+    "kg32_validity" -> ((s, dir) => {
+      val t = eventsTranscripts(s, dir)
+      val tr = Extraction.triplesRaw(t)
+        .select(col("conv_id"), col("turn_idx"),
+          col("subj_raw").as("subj"), col("pred"), col("obj_raw").as("obj"))
+      val obs = tr
+        .join(t.select(col("conv_id"), col("turn_idx"), col("ts")),
+          Seq("conv_id", "turn_idx"))
+        .select(col("subj"), col("pred"), col("obj"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("bigint").as("day"))
+      graft.graph.TemporalValidity.intervals(
+        obs, Seq("subj", "pred", "obj"), "day", maxGap = 3)
+    }),
+
     "kg22_entity_types" -> ((s, dir) => {
       val t = Extraction.triplesRaw(eventsTranscripts(s, dir))
       val m = t.select(col("subj_norm").as("entity"), col("subj_type").as("etype"))
@@ -1613,6 +1632,26 @@ object SparkEntry {
          |SELECT h5.node, round(h5.s, 6) AS hub, round(a5.s, 6) AS authority
          |FROM h5 JOIN a5 USING (node)""".stripMargin
     },
+
+    "kg32_validity" ->
+      s"""$triplesCte,
+         |obs AS (SELECT DISTINCT tr.subj, tr.pred, tr.obj,
+         |    CAST(floor(epoch(t.ts) / 86400) AS BIGINT) AS day
+         |  FROM triples tr JOIN transcripts t
+         |    ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
+         |  WHERE tr.subj IS NOT NULL),
+         |flagged AS (SELECT subj, pred, obj, day,
+         |    CASE WHEN day - lag(day) OVER w > 3 THEN 1 ELSE 0 END AS brk
+         |  FROM obs WINDOW w AS (PARTITION BY subj, pred, obj ORDER BY day)),
+         |isl AS (SELECT subj, pred, obj, day,
+         |    CAST(sum(brk) OVER (PARTITION BY subj, pred, obj ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+         |      AS interval_idx
+         |  FROM flagged)
+         |SELECT subj, pred, obj, interval_idx,
+         |  min(day) AS from_day, max(day) AS to_day,
+         |  CAST(count(*) AS INT) AS n_active_days
+         |FROM isl GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "kg22_entity_types" ->
       s"""$triplesCte,

@@ -501,6 +501,30 @@ class PlanSpec extends SparkSpec {
       s"projection must be whole-stage codegen'd:\n${p.take(1200)}")
   }
 
+  test("kg32 validity intervals: dedup + window = two Exchanges, one Sort, final agg reuses the window partitioning") {
+    import spark.implicits._
+    // multi-row input: a 1-row relation trips OptimizeOneRowPlan, which
+    // legitimately deletes the distinct aggregate and hides the real shape
+    val obs = Seq(("s", "p", "o", 3L), ("s", "p", "o", 9L),
+      ("s", "p", "x", 3L), ("t", "p", "o", 4L))
+      .toDF("subj", "pred", "obj", "day")
+    val p = plan(graft.graph.TemporalValidity.intervals(
+      obs, Seq("subj", "pred", "obj"), "day", 3))
+    // shuffle 1: distinct (keys, day); shuffle 2: window on keys; the
+    // closing groupBy(keys :+ interval_idx) is a SUPERSET of the window
+    // partition keys, so a third Exchange means Spark stopped reusing the
+    // window's hash partitioning — the subset-satisfies-clustered rule
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 2,
+      s"expected exactly two Exchanges:\n${p.take(1500)}")
+    // lag and the running sum CANNOT share one Window operator (the sum
+    // consumes lag's output), but both must ride ONE Sort — a second Sort
+    // or an Exchange between them means the shared order broke
+    assert("(?m)^\\(\\d+\\) Window".r.findAllIn(p).size == 2,
+      s"expected the lag Window and the running-sum Window:\n${p.take(1500)}")
+    assert("(?m)^\\(\\d+\\) Sort".r.findAllIn(p).size == 1,
+      s"both windows must share one sort:\n${p.take(1500)}")
+  }
+
   test("GraftExtensions: spark.sql.extensions registers the native functions") {
     // a derived session over the shared SparkContext, built THROUGH the
     // extensions hook (the spark-submit deployment path). getOrCreate

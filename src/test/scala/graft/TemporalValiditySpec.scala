@@ -1,0 +1,54 @@
+package graft
+
+import graft.graph.TemporalValidity
+
+/** Islands-and-gaps interval coalescing vs a driver-side brute force. */
+class TemporalValiditySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: sort distinct days, split where the gap exceeds maxGap. */
+  private def brute(obs: Seq[(String, Long)],
+                    maxGap: Long): Set[(String, Int, Long, Long, Int)] =
+    obs.distinct.groupBy(_._1).flatMap { case (k, rows) =>
+      val days = rows.map(_._2).distinct.sorted
+      val islands = days.foldLeft(Vector.empty[Vector[Long]]) { (acc, d) =>
+        if (acc.nonEmpty && d - acc.last.last <= maxGap)
+          acc.init :+ (acc.last :+ d)
+        else acc :+ Vector(d)
+      }
+      islands.zipWithIndex.map { case (ds, i) =>
+        (k, i, ds.head, ds.last, ds.size)
+      }
+    }.toSet
+
+  private def run(obs: Seq[(String, Long)],
+                  maxGap: Long): Set[(String, Int, Long, Long, Int)] =
+    TemporalValidity.intervals(obs.toDF("k", "day"), Seq("k"), "day", maxGap)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+
+  test("hand case: two islands, duplicate observations collapse") {
+    val obs = Seq("a" -> 3L, "a" -> 3L, "a" -> 4L, "a" -> 5L,
+      "a" -> 20L, "a" -> 21L, "b" -> 7L)
+    val got = run(obs, maxGap = 3)
+    assert(got == Set(
+      ("a", 0, 3L, 5L, 3), ("a", 1, 20L, 21L, 2), ("b", 0, 7L, 7L, 1)))
+  }
+
+  test("gap exactly maxGap stays one interval; maxGap+1 splits") {
+    assert(run(Seq("x" -> 1L, "x" -> 4L), 3) == Set(("x", 0, 1L, 4L, 2)))
+    assert(run(Seq("x" -> 1L, "x" -> 5L), 3) ==
+      Set(("x", 0, 1L, 1L, 1), ("x", 1, 5L, 5L, 1)))
+  }
+
+  test("randomized inputs match brute force") {
+    val rnd = new scala.util.Random(32)
+    for (trial <- 1 to 3) {
+      val obs = Seq.fill(120)(
+        (s"k${rnd.nextInt(5)}", rnd.nextInt(40).toLong))
+      val gap = 1 + rnd.nextInt(4)
+      assert(run(obs, gap) == brute(obs, gap), s"trial $trial gap $gap")
+    }
+  }
+}
