@@ -39,6 +39,46 @@ import org.apache.spark.sql.functions._
  */
 object TemporalValidity {
 
+  /**
+   * Contradiction detection over the interval table: two validity
+   * intervals for the SAME (keyCols) but DIFFERENT `objCol` values that
+   * overlap in time — the temporal-KG conflict report (a person
+   * "works_at" two orgs in the same window; kg19's most-recent-wins
+   * revision picks a winner, this op surfaces what it overruled and for
+   * how long). Pairs are canonical (obj_a < obj_b); output rows are
+   * unique by construction because each object's intervals are disjoint,
+   * so pairwise intersections never coincide.
+   *
+   * 100 TB shape: runs on the INTERVAL table (already orders of
+   * magnitude smaller than the observation stream); one equi self-join
+   * on the (keyCols) fact identity with the overlap predicate as a
+   * residual — per-key group sizes are #objects x #intervals, bounded in
+   * practice by predicate functionality, never corpus-sized.
+   *
+   * @param iv output of [[intervals]] over keys `keyCols :+ objCol`
+   *           (i.e. `objCol` was part of the fact identity when
+   *           intervals were built, e.g. intervals over (subj, pred,
+   *           obj) probed here on (subj, pred)).
+   */
+  def contradictions(iv: DataFrame, keyCols: Seq[String],
+                     objCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val a = iv.as("a")
+    val b = iv.as("b")
+    val keyEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    a.join(b, keyEq
+        && col(s"a.$objCol") < col(s"b.$objCol")
+        && col("a.from_day") <= col("b.to_day")
+        && col("b.from_day") <= col("a.to_day"))
+      .select(keyCols.map(k => col(s"a.$k").as(k)) ++ Seq(
+        col(s"a.$objCol").as(s"${objCol}_a"),
+        col(s"b.$objCol").as(s"${objCol}_b"),
+        greatest(col("a.from_day"), col("b.from_day")).as("overlap_from"),
+        least(col("a.to_day"), col("b.to_day")).as("overlap_to")): _*)
+      .withColumn("overlap_days",
+        col("overlap_to") - col("overlap_from") + 1)
+  }
+
   def intervals(obs: DataFrame, keyCols: Seq[String], dayCol: String,
                 maxGap: Long): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")

@@ -42,6 +42,25 @@ class TemporalValiditySpec extends SparkSpec {
       Set(("x", 0, 1L, 1L, 1), ("x", 1, 5L, 5L, 1)))
   }
 
+  test("contradictions: overlapping intervals of different objects, canonical pairs") {
+    // s/p: obj A valid [1,5] and [20,25]; obj B valid [4,8] and [24,28];
+    // obj C valid [50,50] (no overlap with anything)
+    val obs = Seq(
+      ("s", "A", 1L), ("s", "A", 5L), ("s", "A", 20L), ("s", "A", 25L),
+      ("s", "B", 4L), ("s", "B", 8L), ("s", "B", 24L), ("s", "B", 28L),
+      ("s", "C", 50L)).map { case (k, o, d) => (k, "p", o, d) }
+    val iv = TemporalValidity.intervals(
+      obs.toDF("subj", "pred", "obj", "day"), Seq("subj", "pred", "obj"),
+      "day", maxGap = 5)
+    val got = TemporalValidity.contradictions(iv, Seq("subj", "pred"), "obj")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == Set(
+      ("s", "p", "A", "B", 4L, 5L, 2L),    // [1,5] x [4,8]
+      ("s", "p", "A", "B", 24L, 25L, 2L))) // [20,25] x [24,28]
+  }
+
   test("randomized inputs match brute force") {
     val rnd = new scala.util.Random(32)
     for (trial <- 1 to 3) {
