@@ -457,6 +457,40 @@ object SparkEntry {
       graft.graph.TemporalValidity.contradictions(
         validityIntervals(s, dir), Seq("subj", "pred"), "obj")),
 
+    // same-direction implication mining p(x,y) ⇒ q(x,y), completing the
+    // AMIE family (kg17 functionality, kg18 inverse, kg23 composition):
+    // the fixture's predicates have disjoint type signatures, so the body
+    // `colleague` (shared employer: works_at ⋈ works_at on the org, the
+    // AMIE body-materialization step) is mined against reports_to —
+    // reports_to ⇒ colleague holds at ~0.93 ("managers work where their
+    // reports do"), the reverse direction is weak, and that directional
+    // gap is the subsumption signal a schema curator reads
+    "kg35_implications" -> ((s, dir) => {
+      val t = eventsPipeline(s, dir).tripleSet
+      val w = t.filter(col("pred") === "works_at")
+      val derived = w.alias("l")
+        .join(w.alias("r"),
+          col("l.obj") === col("r.obj") && col("l.subj") =!= col("r.subj"))
+        .select(col("l.subj").as("subj"), lit("colleague").as("pred"),
+          col("r.subj").as("obj"))
+      graft.graph.RuleMining.implicationRules(
+        t.unionByName(derived), minSupport = 2L)
+    }),
+
+    // dictionary-encoded KG: dense lexicographic long ids for entities
+    // (subj ∪ obj) and predicates, the triple set re-expressed as
+    // (s_id, p_id, o_id) with its observation count — the 8-bytes-per-key
+    // width trick every downstream shuffle inherits at 100 TB. Dense rank
+    // at scale: range partition + local row_number + prefix offsets,
+    // never a single-partition global window
+    "kg34_encoded" -> ((s, dir) => {
+      val tr = Extraction.triplesRaw(eventsTranscripts(s, dir))
+        .select(col("subj_raw").as("subj"), col("pred"), col("obj_raw").as("obj"))
+      val (_, _, enc) = graft.graph.Dictionary.encodeTriples(
+        tr, "subj", "pred", "obj")
+      enc.groupBy("s_id", "p_id", "o_id").agg(count(lit(1)).as("n_obs"))
+    }),
+
     "kg22_entity_types" -> ((s, dir) => {
       val t = Extraction.triplesRaw(eventsTranscripts(s, dir))
       val m = t.select(col("subj_norm").as("entity"), col("subj_type").as("etype"))
@@ -1685,6 +1719,43 @@ object SparkEntry {
          |FROM iv a JOIN iv b
          |  ON a.subj = b.subj AND a.pred = b.pred AND a.obj < b.obj
          |  AND a.from_day <= b.to_day AND b.from_day <= a.to_day""".stripMargin,
+
+    "kg35_implications" ->
+      s"""$triplesCte,
+         |base AS (SELECT DISTINCT subj, pred, obj FROM triples
+         |  WHERE subj IS NOT NULL AND obj IS NOT NULL),
+         |drv AS (SELECT DISTINCT l.subj, 'colleague' AS pred, r.subj AS obj
+         |  FROM base l JOIN base r
+         |  ON l.pred = 'works_at' AND r.pred = 'works_at'
+         |  AND l.obj = r.obj AND l.subj <> r.subj),
+         |ts AS (SELECT * FROM base UNION SELECT * FROM drv),
+         |sup AS (SELECT l.pred AS body_pred, r.pred AS head_pred,
+         |    count(*) AS support
+         |  FROM ts l JOIN ts r
+         |  ON l.subj = r.subj AND l.obj = r.obj AND l.pred <> r.pred
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tot AS (SELECT pred AS body_pred, count(*) AS n_body_pairs
+         |  FROM ts GROUP BY 1)
+         |SELECT body_pred, head_pred, support, n_body_pairs,
+         |  round(CAST(support AS DOUBLE) / n_body_pairs, 6) AS confidence
+         |FROM sup JOIN tot USING (body_pred)""".stripMargin,
+
+    "kg34_encoded" ->
+      s"""$triplesCte,
+         |tt AS MATERIALIZED (SELECT subj, pred, obj FROM triples
+         |  WHERE subj IS NOT NULL),
+         |ents AS (SELECT subj AS value FROM tt UNION SELECT obj FROM tt),
+         |dict AS MATERIALIZED (SELECT value,
+         |    row_number() OVER (ORDER BY value) - 1 AS id FROM ents),
+         |pdict AS (SELECT pred, row_number() OVER (ORDER BY pred) - 1 AS pid
+         |  FROM (SELECT DISTINCT pred FROM tt))
+         |SELECT ds.id AS s_id, pd.pid AS p_id, dobj.id AS o_id,
+         |  count(*) AS n_obs
+         |FROM tt t
+         |  JOIN dict ds ON t.subj = ds.value
+         |  JOIN dict dobj ON t.obj = dobj.value
+         |  JOIN pdict pd ON t.pred = pd.pred
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "kg22_entity_types" ->
       s"""$triplesCte,

@@ -113,6 +113,44 @@ object RuleMining {
           .as("confidence"))
   }
 
+  /**
+   * Same-direction implication mining — the AMIE rule
+   * p(x, y) ⇒ q(x, y): predicate pairs asserted over the SAME entity
+   * pair (works_at ⇒ based_in when people's employers sit where they
+   * live). High mutual confidence marks near-equivalent predicates — the
+   * redundancy report a schema curator reads before collapsing edge
+   * types; directional confidence gaps mark genuine subsumption.
+   *
+   * `support` = #distinct (x, y) with both p and q; `confidence` =
+   * support / #distinct (x, y) of the body p (CWA). Directional: both
+   * (p ⇒ q) and (q ⇒ p) rows emit, same support, each over its own
+   * body total.
+   *
+   * 100 TB shape: ONE (subj, obj)-keyed self-join of the distinct
+   * triple set — per-key fan-out is bounded by #predicates (never
+   * corpus-sized; strictly tamer than [[inversePairs]]'s reversed-pair
+   * key), then a #pred²-bounded agg and a broadcast-sized totals join.
+   */
+  def implicationRules(triples: DataFrame, minSupport: Long = 1L): DataFrame = {
+    val t = triples.select(col("subj"), col("pred"), col("obj"))
+      .filter(col("subj").isNotNull && col("pred").isNotNull && col("obj").isNotNull)
+      .distinct().localCheckpoint(false)
+    val sup = t.alias("l")
+      .join(t.alias("r"),
+        col("l.subj") === col("r.subj") && col("l.obj") === col("r.obj")
+          && col("l.pred") =!= col("r.pred"))
+      .groupBy(col("l.pred").as("body_pred"), col("r.pred").as("head_pred"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val totals = t.groupBy(col("pred").as("body_pred"))
+      .agg(count(lit(1)).as("n_body_pairs"))
+    sup.join(totals, Seq("body_pred"))
+      .select(col("body_pred"), col("head_pred"), col("support"),
+        col("n_body_pairs"),
+        round(col("support").cast("double") / col("n_body_pairs"), 6)
+          .as("confidence"))
+  }
+
   def inversePairs(triples: DataFrame, minSupport: Long = 1L): DataFrame = {
     // consumed three times (both self-join sides + totals): materialize
     // once and cut the upstream lineage — same posture as

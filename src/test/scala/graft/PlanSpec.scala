@@ -525,6 +525,22 @@ class PlanSpec extends SparkSpec {
       s"both windows must share one sort:\n${p.take(1500)}")
   }
 
+  test("kg34 dictionary: dense ids never plan a single-partition global window") {
+    import spark.implicits._
+    val vals = Seq("m", "a", "q", "c", "z", "a", "k").toDF("v")
+    val p = plan(graft.graph.Dictionary.build(vals, "v", partitions = 3))
+    // the whole point of range + local row_number + offsets: a global
+    // `row_number() OVER (ORDER BY v)` would plan Exchange SinglePartition
+    // — the one shape that cannot survive 10^9 distinct entities
+    assert(!p.contains("SinglePartition"),
+      s"dictionary build must not serialize to one partition:\n${p.take(1500)}")
+    assert(p.contains("rangepartitioning"),
+      s"expected the lexicographic range repartition:\n${p.take(1500)}")
+    // the offsets join stays a broadcast (#partitions rows)
+    assert(p.contains("BroadcastExchange"),
+      s"offset join must broadcast:\n${p.take(1500)}")
+  }
+
   test("GraftExtensions: spark.sql.extensions registers the native functions") {
     // a derived session over the shared SparkContext, built THROUGH the
     // extensions hook (the spark-submit deployment path). getOrCreate

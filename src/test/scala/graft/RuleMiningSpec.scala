@@ -46,6 +46,42 @@ class RuleMiningSpec extends SparkSpec {
       ("married_to", "married_to", 2L, 2L, 1.0)))
   }
 
+  test("implicationRules: hand-computed directional confidences") {
+    // p ⇒ q: pairs (a,b) and (c,d) carry both; (e,f) carries only p;
+    // (g,h) carries only q. Duplicate assertions collapse (distinct).
+    val t = Seq(
+      ("a", "p", "b"), ("a", "p", "b"), ("a", "q", "b"),
+      ("c", "p", "d"), ("c", "q", "d"),
+      ("e", "p", "f"),
+      ("g", "q", "h")
+    ).toDF("subj", "pred", "obj")
+    val got = RuleMining.implicationRules(t, minSupport = 2L)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("p", "q", 2L, 3L, 0.666667),
+      ("q", "p", 2L, 3L, 0.666667)))
+  }
+
+  test("implicationRules: equals brute force on a seeded random KG") {
+    val rnd = new scala.util.Random(35)
+    val ents = (0 until 12).map(i => s"e$i")
+    val preds = Seq("p0", "p1", "p2")
+    val ts = Seq.fill(250)((ents(rnd.nextInt(ents.size)),
+      preds(rnd.nextInt(preds.size)), ents(rnd.nextInt(ents.size)))).distinct
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byPair = ts.groupBy(r => (r._1, r._3)).view.mapValues(_.map(_._2).toSet)
+    val want = (for {
+      bp <- preds; hp <- preds if bp != hp
+      sup = byPair.count { case (_, ps) => ps.contains(bp) && ps.contains(hp) }
+      if sup >= 1
+    } yield (bp, hp, sup.toLong, ts.count(_._2 == bp).toLong,
+      r6(sup.toDouble / ts.count(_._2 == bp)))).toSet
+    val got = RuleMining.implicationRules(ts.toDF("subj", "pred", "obj"))
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("property: both miners equal brute force on a seeded random KG") {
     val rnd = new scala.util.Random(562)
     val ents = (0 until 25).map(i => s"e$i")
