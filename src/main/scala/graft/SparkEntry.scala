@@ -477,6 +477,26 @@ object SparkEntry {
         t.unionByName(derived), minSupport = 2L)
     }),
 
+    // SHACL shape synthesis — the generator half of the schema loop whose
+    // enforcement half is kg26: per (label, predicate) the constraint row
+    // a curator publishes (target object class, min_count 1 when every
+    // entity of the label carries the predicate, max_count = observed
+    // per-subject fan-out ceiling; 1 = functional at this label)
+    "kg36_shapes" -> ((s, dir) => {
+      val td = Extraction.triplesRaw(eventsTranscripts(s, dir))
+        .select(col("subj_raw").as("subj"), col("pred"),
+          col("obj_raw").as("obj"), col("subj_type"), col("obj_type"))
+      graft.schemadisc.ShapeSynthesis.shapes(td)
+    }),
+
+    // current-KG snapshot: the facts valid at the corpus horizon — kg32
+    // intervals whose last observation is within the 3-day gap tolerance
+    // of the global max day; a one-row broadcast horizon into a pure
+    // filter, THE query a serving layer runs against the temporal KG
+    "kg37_snapshot" -> ((s, dir) =>
+      graft.graph.TemporalValidity.asOf(
+        validityIntervals(s, dir), asOfDay = None, grace = 3L)),
+
     // dictionary-encoded KG: dense lexicographic long ids for entities
     // (subj ∪ obj) and predicates, the triple set re-expressed as
     // (s_id, p_id, o_id) with its observation count — the 8-bytes-per-key
@@ -1719,6 +1739,37 @@ object SparkEntry {
          |FROM iv a JOIN iv b
          |  ON a.subj = b.subj AND a.pred = b.pred AND a.obj < b.obj
          |  AND a.from_day <= b.to_day AND b.from_day <= a.to_day""".stripMargin,
+
+    "kg36_shapes" ->
+      s"""$triplesCte,
+         |td AS MATERIALIZED (SELECT DISTINCT subj, pred, obj, subj_type,
+         |    obj_type
+         |  FROM triples WHERE subj IS NOT NULL),
+         |ps AS (SELECT subj_type, pred, subj, count(*) AS n_objs
+         |  FROM td GROUP BY 1, 2, 3),
+         |pp AS (SELECT subj_type AS label, pred AS predicate,
+         |    count(*) AS n_with_pred, max(n_objs) AS max_count
+         |  FROM ps GROUP BY 1, 2),
+         |cls AS (SELECT subj_type AS label, pred AS predicate,
+         |    min(obj_type) AS object_class,
+         |    count(DISTINCT obj_type) AS n_object_classes
+         |  FROM td GROUP BY 1, 2),
+         |ec AS (SELECT subj_type AS label, count(DISTINCT subj) AS n_entities
+         |  FROM td GROUP BY 1)
+         |SELECT label, predicate, object_class, n_object_classes,
+         |  n_entities, n_with_pred,
+         |  CAST(CASE WHEN n_with_pred = n_entities THEN 1 ELSE 0 END AS INT)
+         |    AS min_count,
+         |  max_count
+         |FROM pp JOIN cls USING (label, predicate) JOIN ec USING (label)""".stripMargin,
+
+    "kg37_snapshot" ->
+      s"""$validityCtes
+         |SELECT subj, pred, obj, interval_idx, from_day, to_day,
+         |  n_active_days, (SELECT max(to_day) FROM iv) AS as_of_day
+         |FROM iv
+         |WHERE from_day <= (SELECT max(to_day) FROM iv)
+         |  AND to_day >= (SELECT max(to_day) FROM iv) - 3""".stripMargin,
 
     "kg35_implications" ->
       s"""$triplesCte,

@@ -79,6 +79,30 @@ object TemporalValidity {
         col("overlap_to") - col("overlap_from") + 1)
   }
 
+  /**
+   * Point-in-time snapshot over the interval table: the facts valid at
+   * `asOfDay` — intervals that started on or before it and whose last
+   * observation is at most `grace` days older (the [[intervals]] gap
+   * tolerance applied at the query end: a fact last seen 2 days ago is
+   * still current under a 3-day gap rule). `asOfDay = None` snapshots at
+   * the corpus horizon (global max to_day) — "the KG as of now", THE
+   * query a serving layer runs. Output is the input plus `as_of_day`.
+   *
+   * 100 TB shape: the horizon is a one-row global aggregate broadcast
+   * into a pure filter over the (already small) interval table — no
+   * shuffle of iv itself; with a literal `asOfDay` the filter is
+   * pushdown-able to the interval store's partition pruning.
+   */
+  def asOf(iv: DataFrame, asOfDay: Option[Long], grace: Long): DataFrame = {
+    val withDay = asOfDay match {
+      case Some(d) => iv.withColumn("as_of_day", lit(d))
+      case None =>
+        iv.crossJoin(broadcast(iv.agg(max(col("to_day")).as("as_of_day"))))
+    }
+    withDay.filter(col("from_day") <= col("as_of_day")
+      && col("to_day") >= col("as_of_day") - grace)
+  }
+
   def intervals(obs: DataFrame, keyCols: Seq[String], dayCol: String,
                 maxGap: Long): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")

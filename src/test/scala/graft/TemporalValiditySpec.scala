@@ -61,6 +61,27 @@ class TemporalValiditySpec extends SparkSpec {
       ("s", "p", "A", "B", 24L, 25L, 2L))) // [20,25] x [24,28]
   }
 
+  test("asOf: horizon snapshot keeps runs alive within grace; explicit day filters both ends") {
+    // A valid [1,5] and [20,25]; B valid [4,8]
+    val obs = Seq(
+      ("s", "A", 1L), ("s", "A", 5L), ("s", "A", 20L), ("s", "A", 25L),
+      ("s", "B", 4L), ("s", "B", 8L)).map { case (k, o, d) => (k, "p", o, d) }
+    val iv = TemporalValidity.intervals(
+      obs.toDF("subj", "pred", "obj", "day"), Seq("subj", "pred", "obj"),
+      "day", maxGap = 5)
+    // horizon = 25: only A's [20,25] is current (B last seen day 8)
+    val cur = TemporalValidity.asOf(iv, None, grace = 3)
+      .select("obj", "from_day", "to_day", "as_of_day")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(cur == Set(("A", 20L, 25L, 25L)))
+    // as of day 8: A's [1,5] (within grace) and B's [4,8]; A's [20,25]
+    // hasn't started
+    val at8 = TemporalValidity.asOf(iv, Some(8L), grace = 3)
+      .select("obj", "from_day", "to_day")
+      .as[(String, Long, Long)].collect().toSet
+    assert(at8 == Set(("A", 1L, 5L), ("B", 4L, 8L)))
+  }
+
   test("randomized inputs match brute force") {
     val rnd = new scala.util.Random(32)
     for (trial <- 1 to 3) {
