@@ -464,9 +464,19 @@ object SparkEntry {
     // AMIE body-materialization step) is mined against reports_to —
     // reports_to ⇒ colleague holds at ~0.93 ("managers work where their
     // reports do"), the reverse direction is weak, and that directional
-    // gap is the subsumption signal a schema curator reads
+    // gap is the subsumption signal a schema curator reads.
+    // COST POSTURE: implicationRules itself is linear (per-pair fan-out
+    // bounded by #predicates); the colleague BODY is group-quadratic on
+    // hub orgs — the same composition-join profile as kg23, where AQE
+    // skew-split and the blocking family's caps are the 100 TB
+    // mitigations. The fixture's single dominant org makes this the
+    // heaviest bench query by design, not by accident (~15 s at sf0.1 =
+    // 2.25M materialized body facts)
     "kg35_implications" -> ((s, dir) => {
-      val t = eventsPipeline(s, dir).tripleSet
+      // lineage cut: t feeds BOTH self-join sides and the union — without
+      // it the canonicalization pipeline replays once per consumer (the
+      // kg17/kg18 lineage-cut precedent; measured 18.1 s at sf0.1)
+      val t = eventsPipeline(s, dir).tripleSet.localCheckpoint(false)
       val w = t.filter(col("pred") === "works_at")
       val derived = w.alias("l")
         .join(w.alias("r"),

@@ -525,6 +525,22 @@ class PlanSpec extends SparkSpec {
       s"both windows must share one sort:\n${p.take(1500)}")
   }
 
+  test("kg37 asOf: horizon is a one-row broadcast; the interval table never reshuffles") {
+    import spark.implicits._
+    val iv = Seq(("s", "p", "o", 0, 1L, 5L, 3), ("s", "p", "x", 0, 4L, 9L, 2))
+      .toDF("subj", "pred", "obj", "interval_idx", "from_day", "to_day",
+        "n_active_days")
+    val p = plan(graft.graph.TemporalValidity.asOf(iv, None, grace = 3))
+    // the only Exchange allowed is the horizon aggregate's own one-row
+    // reduction; iv flows filter-only into a broadcast join
+    assert(p.contains("BroadcastExchange"),
+      s"horizon must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"iv must not shuffle for the horizon join:\n${p.take(1500)}")
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1,
+      s"only the one-row horizon agg may exchange:\n${p.take(1500)}")
+  }
+
   test("kg34 dictionary: dense ids never plan a single-partition global window") {
     import spark.implicits._
     val vals = Seq("m", "a", "q", "c", "z", "a", "k").toDF("v")

@@ -28,6 +28,30 @@ class ShapeSynthesisSpec extends SparkSpec {
       ("org", "based_in", "city", 2L, 1L, 1L, 1, 2L)))
   }
 
+  test("randomized: shapes equal brute force on a seeded typed KG") {
+    val rnd = new scala.util.Random(36)
+    for (trial <- 1 to 3) {
+      val types = Seq("person", "org", "city")
+      val preds = Seq("p0", "p1", "p2", "p3")
+      val raw = Seq.fill(200)((s"e${rnd.nextInt(15)}", preds(rnd.nextInt(4)),
+        s"v${rnd.nextInt(10)}", types(rnd.nextInt(3)), types(rnd.nextInt(3))))
+      val td = raw.distinct
+      val want = td.groupBy(r => (r._4, r._2)).map { case ((label, pred), rows) =>
+        val nWith = rows.map(_._1).distinct.size.toLong
+        val maxCount = rows.groupBy(_._1).values.map(_.size).max.toLong
+        val classes = rows.map(_._5).distinct
+        val nEnt = td.filter(_._4 == label).map(_._1).distinct.size.toLong
+        (label, pred, classes.min, classes.size.toLong, nEnt, nWith,
+          if (nWith == nEnt) 1 else 0, maxCount)
+      }.toSet
+      val got = ShapeSynthesis.shapes(
+        raw.toDF("subj", "pred", "obj", "subj_type", "obj_type"))
+        .as[(String, String, String, Long, Long, Long, Int, Long)]
+        .collect().toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("shapes: null-typed and null-object rows drop") {
     val td = Seq(
       ("a", "p", "b", "t", "u"),
