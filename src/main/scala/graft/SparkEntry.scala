@@ -487,6 +487,17 @@ object SparkEntry {
         t.unionByName(derived), minSupport = 2L)
     }),
 
+    // GraphSAGE-style ego-net sampling — GNN training-data prep over the
+    // constructed KG: hash-sampled egos (sm1's pushdown-able predicate on
+    // nodes), then per hop ONE frontier×edges join + a per-(ego, node)
+    // top-F the planner runs as WindowGroupLimit (hub nodes ship F rows
+    // per ego map-side, never their degree); md5 decision keys make the
+    // sample engine-portable and retry/repartition-invariant
+    "kg38_egonets" -> ((s, dir) => graft.graph.EgoNets.sample(
+      eventsPipeline(s, dir).tripleSet
+        .select(col("subj").as("src"), col("obj").as("dst")),
+      seedFraction = 0.25, fanouts = Seq(3, 2), salt = "ego")),
+
     // SHACL shape synthesis — the generator half of the schema loop whose
     // enforcement half is kg26: per (label, predicate) the constraint row
     // a curator publishes (target object class, min_count 1 when every
@@ -1749,6 +1760,32 @@ object SparkEntry {
          |FROM iv a JOIN iv b
          |  ON a.subj = b.subj AND a.pred = b.pred AND a.obj < b.obj
          |  AND a.from_day <= b.to_day AND b.from_day <= a.to_day""".stripMargin,
+
+    "kg38_egonets" ->
+      (s"""$triplesCte,
+         |base AS (SELECT DISTINCT subj, pred, obj FROM triples
+         |  WHERE subj IS NOT NULL AND obj IS NOT NULL),
+         |e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM base
+         |  WHERE subj <> obj),
+         |und AS MATERIALIZED (SELECT src, dst FROM e0
+         |  UNION SELECT dst, src FROM e0),
+         |seeds AS (SELECT DISTINCT src AS seed FROM und
+         |  WHERE md5(concat('ego', ':', src)) < '40000000""".stripMargin
+        + "0" * 24 +
+        """'),
+         |h1 AS (SELECT seed, src, dst FROM (
+         |  SELECT s.seed, u.src, u.dst, row_number() OVER (
+         |      PARTITION BY s.seed, u.src
+         |      ORDER BY md5(concat_ws('|', 'ego', s.seed, u.src, u.dst))) AS rn
+         |  FROM seeds s JOIN und u ON u.src = s.seed) WHERE rn <= 3),
+         |f2 AS (SELECT DISTINCT seed, dst AS node FROM h1),
+         |h2 AS (SELECT seed, src, dst FROM (
+         |  SELECT f.seed, u.src, u.dst, row_number() OVER (
+         |      PARTITION BY f.seed, u.src
+         |      ORDER BY md5(concat_ws('|', 'ego', f.seed, u.src, u.dst))) AS rn
+         |  FROM f2 f JOIN und u ON u.src = f.node) WHERE rn <= 2)
+         |SELECT seed, 1 AS hop, src, dst FROM h1
+         |UNION ALL SELECT seed, 2 AS hop, src, dst FROM h2""".stripMargin),
 
     "kg36_shapes" ->
       s"""$triplesCte,

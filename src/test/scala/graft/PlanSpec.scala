@@ -525,6 +525,17 @@ class PlanSpec extends SparkSpec {
       s"both windows must share one sort:\n${p.take(1500)}")
   }
 
+  test("kg38 ego-nets: per-(ego, node) top-F plans as WindowGroupLimit, joins stay equi") {
+    val p = plan(SparkEntry.queries("kg38_egonets")(spark, dir))
+    // the fan-out cap must run as WindowGroupLimit (partial top-F
+    // map-side before the exchange — hub nodes ship F rows per ego,
+    // never their degree), one per hop
+    assert(p.contains("WindowGroupLimit"),
+      s"fanout cap must be WindowGroupLimit:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"frontier expansion must stay an equi-join:\n${p.take(1500)}")
+  }
+
   test("kg37 asOf: horizon is a one-row broadcast; the interval table never reshuffles") {
     import spark.implicits._
     val iv = Seq(("s", "p", "o", 0, 1L, 5L, 3), ("s", "p", "x", 0, 4L, 9L, 2))
