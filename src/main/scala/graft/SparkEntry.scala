@@ -498,6 +498,17 @@ object SparkEntry {
         .select(col("subj").as("src"), col("obj").as("dst")),
       seedFraction = 0.25, fanouts = Seq(3, 2), salt = "ego")),
 
+    // DeepWalk-style deterministic random-walk corpus — the skip-gram
+    // training-sentence generator beside kg38's GraphSAGE sampling: each
+    // step is one frontier×edges equi-join + a per-walk md5-arg-min
+    // PARTIAL aggregate (map-side combine beats a window on hubs); the
+    // walk is a pure function of (salt, start, walk_idx, step) —
+    // replayable on retries and incremental rebuilds, no RNG state
+    "kg39_walks" -> ((s, dir) => graft.graph.RandomWalks.walks(
+      eventsPipeline(s, dir).tripleSet
+        .select(col("subj").as("src"), col("obj").as("dst")),
+      startFraction = 0.25, walksPerNode = 2, length = 4, salt = "walk")),
+
     // SHACL shape synthesis — the generator half of the schema loop whose
     // enforcement half is kg26: per (label, predicate) the constraint row
     // a curator publishes (target object class, min_count 1 when every
@@ -1760,6 +1771,39 @@ object SparkEntry {
          |FROM iv a JOIN iv b
          |  ON a.subj = b.subj AND a.pred = b.pred AND a.obj < b.obj
          |  AND a.from_day <= b.to_day AND b.from_day <= a.to_day""".stripMargin,
+
+    "kg39_walks" ->
+      (s"""$triplesCte,
+         |base AS (SELECT DISTINCT subj, pred, obj FROM triples
+         |  WHERE subj IS NOT NULL AND obj IS NOT NULL),
+         |e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM base
+         |  WHERE subj <> obj),
+         |und AS MATERIALIZED (SELECT src, dst FROM e0
+         |  UNION SELECT dst, src FROM e0),
+         |starts AS (SELECT n.src AS start, w.widx FROM
+         |  (SELECT DISTINCT src FROM und
+         |   WHERE md5(concat('walk', ':', src)) < '40000000""".stripMargin
+        + "0" * 24 +
+        """') n
+         |  CROSS JOIN (SELECT 0 AS widx UNION ALL SELECT 1) w),
+         |s0 AS (SELECT start, widx, start AS node FROM starts),
+         |s1 AS (SELECT s.start, s.widx, arg_min(u.dst, md5(concat_ws('|',
+         |    'walk', s.start, s.widx, 1, u.src, u.dst))) AS node
+         |  FROM s0 s JOIN und u ON u.src = s.node GROUP BY 1, 2),
+         |s2 AS (SELECT s.start, s.widx, arg_min(u.dst, md5(concat_ws('|',
+         |    'walk', s.start, s.widx, 2, u.src, u.dst))) AS node
+         |  FROM s1 s JOIN und u ON u.src = s.node GROUP BY 1, 2),
+         |s3 AS (SELECT s.start, s.widx, arg_min(u.dst, md5(concat_ws('|',
+         |    'walk', s.start, s.widx, 3, u.src, u.dst))) AS node
+         |  FROM s2 s JOIN und u ON u.src = s.node GROUP BY 1, 2),
+         |s4 AS (SELECT s.start, s.widx, arg_min(u.dst, md5(concat_ws('|',
+         |    'walk', s.start, s.widx, 4, u.src, u.dst))) AS node
+         |  FROM s3 s JOIN und u ON u.src = s.node GROUP BY 1, 2)
+         |SELECT start, widx AS walk_idx, 0 AS step, node FROM s0
+         |UNION ALL SELECT start, widx, 1, node FROM s1
+         |UNION ALL SELECT start, widx, 2, node FROM s2
+         |UNION ALL SELECT start, widx, 3, node FROM s3
+         |UNION ALL SELECT start, widx, 4, node FROM s4""".stripMargin),
 
     "kg38_egonets" ->
       (s"""$triplesCte,

@@ -525,6 +525,17 @@ class PlanSpec extends SparkSpec {
       s"both windows must share one sort:\n${p.take(1500)}")
   }
 
+  test("kg39 walks: each step is a partial arg-min agg, never a window") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val out = graft.graph.RandomWalks.walks(edges, 1.0, 2, 3, "t")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"),
+      s"expected map-side combine of the step arg-min struct:\n${p.take(1500)}")
+    assert(!p.contains("Window"),
+      s"step choice must not be a window (hub degree never lands on one task):\n${p.take(1500)}")
+  }
+
   test("kg38 ego-nets: per-(ego, node) top-F plans as WindowGroupLimit, joins stay equi") {
     val p = plan(SparkEntry.queries("kg38_egonets")(spark, dir))
     // the fan-out cap must run as WindowGroupLimit (partial top-F
