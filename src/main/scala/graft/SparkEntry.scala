@@ -33,6 +33,13 @@ object SparkEntry {
   private def eventsTranscripts(s: SparkSession, dir: String): DataFrame =
     EventTranscripts.fromEvents(tbl(s, dir, "events"))
 
+  /** kg39/kg40 shared stage: the DeepWalk walk corpus over the KG. */
+  private def kgWalks(s: SparkSession, dir: String): DataFrame =
+    graft.graph.RandomWalks.walks(
+      eventsPipeline(s, dir).tripleSet
+        .select(col("subj").as("src"), col("obj").as("dst")),
+      startFraction = 0.25, walksPerNode = 2, length = 4, salt = "walk")
+
   /** kg32/kg33 shared stage: per-triple observation days -> validity
     * intervals (gap > 3 days splits). Triples re-join their turn's `ts`
     * on (conv_id, turn_idx) — the kg27 oracle precedent. */
@@ -504,10 +511,14 @@ object SparkEntry {
     // PARTIAL aggregate (map-side combine beats a window on hubs); the
     // walk is a pure function of (salt, start, walk_idx, step) —
     // replayable on retries and incremental rebuilds, no RNG state
-    "kg39_walks" -> ((s, dir) => graft.graph.RandomWalks.walks(
-      eventsPipeline(s, dir).tripleSet
-        .select(col("subj").as("src"), col("obj").as("dst")),
-      startFraction = 0.25, walksPerNode = 2, length = 4, salt = "walk")),
+    "kg39_walks" -> ((s, dir) => kgWalks(s, dir)),
+
+    // skip-gram pair extraction over the kg39 walk corpus — the
+    // (center, context) count table word2vec-style embedding training
+    // consumes; one walk-keyed self-join (group size = walk length + 1,
+    // a constant) + a partial-agg count
+    "kg40_skipgrams" -> ((s, dir) =>
+      graft.graph.RandomWalks.skipGrams(kgWalks(s, dir), window = 2)),
 
     // SHACL shape synthesis — the generator half of the schema loop whose
     // enforcement half is kg26: per (label, predicate) the constraint row
@@ -1243,6 +1254,43 @@ object SparkEntry {
        |    CAST(count(*) AS INT) AS n_active_days
        |  FROM isl GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  // shared kg39/kg40 oracle blocks: symmetrized KG edges, hash-sampled
+  // walk starts x 2 walk indices, the 4 md5-arg-min steps unrolled, and
+  // the `wk` walk-corpus union (start, widx, step, node)
+  private val walkCtes =
+    (s"""$triplesCte,
+       |base AS (SELECT DISTINCT subj, pred, obj FROM triples
+       |  WHERE subj IS NOT NULL AND obj IS NOT NULL),
+       |e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM base
+       |  WHERE subj <> obj),
+       |und AS MATERIALIZED (SELECT src, dst FROM e0
+       |  UNION SELECT dst, src FROM e0),
+       |starts AS (SELECT n.src AS start, w.widx FROM
+       |  (SELECT DISTINCT src FROM und
+       |   WHERE md5(concat('walk', ':', src)) < '40000000""".stripMargin
+      + "0" * 24 +
+      """') n
+       |  CROSS JOIN (SELECT 0 AS widx UNION ALL SELECT 1) w),
+       |s0 AS (SELECT start, widx, start AS node FROM starts),
+       |s1 AS (SELECT s.start, s.widx, arg_min(u.dst, md5(concat_ws('|',
+       |    'walk', s.start, s.widx, 1, u.src, u.dst))) AS node
+       |  FROM s0 s JOIN und u ON u.src = s.node GROUP BY 1, 2),
+       |s2 AS (SELECT s.start, s.widx, arg_min(u.dst, md5(concat_ws('|',
+       |    'walk', s.start, s.widx, 2, u.src, u.dst))) AS node
+       |  FROM s1 s JOIN und u ON u.src = s.node GROUP BY 1, 2),
+       |s3 AS (SELECT s.start, s.widx, arg_min(u.dst, md5(concat_ws('|',
+       |    'walk', s.start, s.widx, 3, u.src, u.dst))) AS node
+       |  FROM s2 s JOIN und u ON u.src = s.node GROUP BY 1, 2),
+       |s4 AS (SELECT s.start, s.widx, arg_min(u.dst, md5(concat_ws('|',
+       |    'walk', s.start, s.widx, 4, u.src, u.dst))) AS node
+       |  FROM s3 s JOIN und u ON u.src = s.node GROUP BY 1, 2),
+       |wk AS MATERIALIZED (
+       |  SELECT start, widx, 0 AS step, node FROM s0
+       |  UNION ALL SELECT start, widx, 1, node FROM s1
+       |  UNION ALL SELECT start, widx, 2, node FROM s2
+       |  UNION ALL SELECT start, widx, 3, node FROM s3
+       |  UNION ALL SELECT start, widx, 4, node FROM s4)""".stripMargin)
+
   private val lpaCtes =
     s"""$triplesCte,
        |e AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
@@ -1773,37 +1821,16 @@ object SparkEntry {
          |  AND a.from_day <= b.to_day AND b.from_day <= a.to_day""".stripMargin,
 
     "kg39_walks" ->
-      (s"""$triplesCte,
-         |base AS (SELECT DISTINCT subj, pred, obj FROM triples
-         |  WHERE subj IS NOT NULL AND obj IS NOT NULL),
-         |e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM base
-         |  WHERE subj <> obj),
-         |und AS MATERIALIZED (SELECT src, dst FROM e0
-         |  UNION SELECT dst, src FROM e0),
-         |starts AS (SELECT n.src AS start, w.widx FROM
-         |  (SELECT DISTINCT src FROM und
-         |   WHERE md5(concat('walk', ':', src)) < '40000000""".stripMargin
-        + "0" * 24 +
-        """') n
-         |  CROSS JOIN (SELECT 0 AS widx UNION ALL SELECT 1) w),
-         |s0 AS (SELECT start, widx, start AS node FROM starts),
-         |s1 AS (SELECT s.start, s.widx, arg_min(u.dst, md5(concat_ws('|',
-         |    'walk', s.start, s.widx, 1, u.src, u.dst))) AS node
-         |  FROM s0 s JOIN und u ON u.src = s.node GROUP BY 1, 2),
-         |s2 AS (SELECT s.start, s.widx, arg_min(u.dst, md5(concat_ws('|',
-         |    'walk', s.start, s.widx, 2, u.src, u.dst))) AS node
-         |  FROM s1 s JOIN und u ON u.src = s.node GROUP BY 1, 2),
-         |s3 AS (SELECT s.start, s.widx, arg_min(u.dst, md5(concat_ws('|',
-         |    'walk', s.start, s.widx, 3, u.src, u.dst))) AS node
-         |  FROM s2 s JOIN und u ON u.src = s.node GROUP BY 1, 2),
-         |s4 AS (SELECT s.start, s.widx, arg_min(u.dst, md5(concat_ws('|',
-         |    'walk', s.start, s.widx, 4, u.src, u.dst))) AS node
-         |  FROM s3 s JOIN und u ON u.src = s.node GROUP BY 1, 2)
-         |SELECT start, widx AS walk_idx, 0 AS step, node FROM s0
-         |UNION ALL SELECT start, widx, 1, node FROM s1
-         |UNION ALL SELECT start, widx, 2, node FROM s2
-         |UNION ALL SELECT start, widx, 3, node FROM s3
-         |UNION ALL SELECT start, widx, 4, node FROM s4""".stripMargin),
+      s"""$walkCtes
+         |SELECT start, widx AS walk_idx, step, node FROM wk""".stripMargin,
+
+    "kg40_skipgrams" ->
+      s"""$walkCtes
+         |SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+         |FROM wk a JOIN wk b
+         |  ON a.start = b.start AND a.widx = b.widx AND a.step <> b.step
+         |  AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2""".stripMargin,
 
     "kg38_egonets" ->
       (s"""$triplesCte,

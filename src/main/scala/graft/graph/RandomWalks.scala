@@ -32,6 +32,29 @@ import org.apache.spark.sql.functions._
  */
 object RandomWalks {
 
+  /**
+   * Skip-gram pair extraction over a walk corpus — the (center, context)
+   * co-occurrence table an embedding trainer actually consumes: within
+   * each walk, every ordered pair of nodes at step distance 1..`window`,
+   * aggregated to counts. ONE (start, walk_idx)-keyed self-join whose
+   * group size is walk length+1 (a constant — never degree- or
+   * corpus-sized), then a (center, context) partial-agg count.
+   *
+   * @param walks output of [[walks]]: (start, walk_idx, step, node)
+   * @return (center, context, n_pairs)
+   */
+  def skipGrams(walks: DataFrame, window: Int): DataFrame = {
+    require(window > 0, "need a positive window")
+    val a = walks.as("a")
+    val b = walks.as("b")
+    a.join(b, col("a.start") === col("b.start")
+        && col("a.walk_idx") === col("b.walk_idx")
+        && col("a.step") =!= col("b.step")
+        && abs(col("a.step") - col("b.step")) <= window)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def walks(edges: DataFrame, startFraction: Double, walksPerNode: Int,
             length: Int, salt: String = "graft"): DataFrame = {
     require(walksPerNode > 0 && length > 0, "need positive walk shape")

@@ -53,6 +53,23 @@ class RandomWalksSpec extends SparkSpec {
     }
   }
 
+  test("skipGrams: windowed ordered pairs with counts, never across walks") {
+    // two walks: (a b c d) and (x y x)
+    val walks = Seq(
+      ("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"), ("a", 0, 3, "d"),
+      ("x", 0, 0, "x"), ("x", 0, 1, "y"), ("x", 0, 2, "x"))
+      .toDF("start", "walk_idx", "step", "node")
+    val got = RandomWalks.skipGrams(walks, window = 2)
+      .as[(String, String, Long)].collect().toSet
+    val expected = Set(
+      ("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L), ("b", "c", 1L),
+      ("b", "d", 1L), ("c", "a", 1L), ("c", "b", 1L), ("c", "d", 1L),
+      ("d", "b", 1L), ("d", "c", 1L),
+      // x-walk: x@0 sees y@1, x@2; y@1 sees both x's; x@2 sees y@1, x@0
+      ("x", "y", 2L), ("y", "x", 2L), ("x", "x", 2L))
+    assert(got == expected)
+  }
+
   test("repartition-invariant and walk_idx-decorrelated") {
     val edges = (0 until 20).map(i => (s"n$i", s"n${(i + 3) % 20}"))
     val a = RandomWalks.walks(edges.toDF("src", "dst"), 1.0, 2, 3, "s")
