@@ -485,6 +485,10 @@ object SparkEntry {
       // kg17/kg18 lineage-cut precedent; measured 18.1 s at sf0.1)
       val t = eventsPipeline(s, dir).tripleSet.localCheckpoint(false)
       val w = t.filter(col("pred") === "works_at")
+      // NOT salted deliberately: w broadcasts (bounded works_at side), so
+      // the hot org never lands on one reducer — the body's cost is its
+      // OUTPUT volume, which salting cannot reduce. operators.SaltedJoin
+      // is the tool for when the probe side must shuffle on a hot key
       val derived = w.alias("l")
         .join(w.alias("r"),
           col("l.obj") === col("r.obj") && col("l.subj") =!= col("r.subj"))
