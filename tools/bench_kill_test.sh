@@ -19,9 +19,13 @@ echo "[kill-test] timeout rc=$RC (124 = killed as intended)"
 # checkpoint lines newest-to-oldest and pass on the first that parses —
 # surviving a torn tail via an earlier complete checkpoint is exactly the
 # behavior the checkpointed emit exists to provide
-grep -ao '{"metric".*' "$LOG" | python3 - <<'EOF'
+# NOTE: extracted lines go through a FILE, not a pipe — `cmd | python3 -
+# <<EOF` is a footgun: the heredoc IS python's stdin (the program), so the
+# piped data would be silently lost and the test would always fail empty
+grep -ao '{"metric".*' "$LOG" > "$LOG.json" || true
+python3 - "$LOG.json" <<'EOF'
 import json, sys
-lines = [l for l in sys.stdin.read().splitlines() if l.strip()]
+lines = [l for l in open(sys.argv[1]).read().splitlines() if l.strip()]
 if not lines:
     print("[kill-test] FAIL: no JSON line in log"); sys.exit(1)
 torn = 0
