@@ -3,7 +3,6 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Dense dictionary encoding of a string-keyed KG: deterministic
@@ -27,10 +26,11 @@ import org.apache.spark.storage.StorageLevel
  * the global row_number exactly, whatever the sampled range boundaries
  * are, because ranges are contiguous and numbering is local-then-offset.
  *
- * The ranged distinct set is persisted (MEMORY_AND_DISK) across the two
- * jobs (count job + the returned dict's own evaluation) so the sampled
- * range boundaries are computed once — the caller unpersists via the
- * returned frame when the dict has been materialized downstream.
+ * The ranged distinct set is materialized once (lazy localCheckpoint —
+ * the family lineage-cut posture, blocks GC-cleaned with the RDD) across
+ * the two jobs (count job + the returned dict's own evaluation), so the
+ * sampled range boundaries are computed exactly once and both jobs read
+ * the same frozen partitioning.
  */
 object Dictionary {
 
@@ -52,7 +52,7 @@ object Dictionary {
       .distinct()
       .repartitionByRange(np, col("value"))
       .withColumn("_p", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // one tiny row per non-empty partition; prefix-sum on the driver
     val counts = ranged.groupBy("_p").agg(count(lit(1)).as("_n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

@@ -572,8 +572,12 @@ class PlanSpec extends SparkSpec {
     // — the one shape that cannot survive 10^9 distinct entities
     assert(!p.contains("SinglePartition"),
       s"dictionary build must not serialize to one partition:\n${p.take(1500)}")
-    assert(p.contains("rangepartitioning"),
-      s"expected the lexicographic range repartition:\n${p.take(1500)}")
+    // the numbering window exchanges on the per-range-partition key _p —
+    // never globally (the lexicographic range repartition itself runs in
+    // the localCheckpoint materialization job; DictionarySpec pins its
+    // cross-partition rank correctness by value)
+    assert(p.contains("hashpartitioning(_p"),
+      s"expected the per-partition local window:\n${p.take(1500)}")
     // the offsets join stays a broadcast (#partitions rows)
     assert(p.contains("BroadcastExchange"),
       s"offset join must broadcast:\n${p.take(1500)}")
