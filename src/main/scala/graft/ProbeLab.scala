@@ -256,7 +256,45 @@ object ProbeLab {
     spark.stop()
   }
 
+  /** `runMain graft.ProbeLab dict`: dense-id assignment at 5M distinct
+    * strings — `Dictionary.build`'s range + local row_number + offsets vs
+    * the naive global `row_number() OVER (ORDER BY value)` (one
+    * partition, the shape that cannot survive 10^9 entities). Identical
+    * id checksums both ways; wall compared at local[8]. */
+  private def dictCost(n: Long): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("probe-dict")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val vals = spark.range(0, n, 1, 32)
+      .select(concat(lit("entity_"),
+        lpad(col("id").cast("string"), 9, "0")).as("value"))
+      .cache()
+    vals.count()
+    def checksum(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(pmod(xxhash64(col("value")) + col("id"), lit(1000000007L))))
+        .head().getLong(0)
+    for (trial <- 1 to 3) {
+      var t0 = System.nanoTime()
+      val c1 = checksum(graft.graph.Dictionary.build(vals, "value", 16))
+      println(f"[lab] dict n=$n ranged trial=$trial wall=${(System.nanoTime() - t0) / 1e9}%.2f s checksum=$c1")
+      t0 = System.nanoTime()
+      val c2 = checksum(vals.distinct().withColumn("id",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("value"))
+          .cast("long") - 1))
+      println(f"[lab] dict n=$n global trial=$trial wall=${(System.nanoTime() - t0) / 1e9}%.2f s checksum=$c2")
+      assert(c1 == c2, s"checksum divergence: $c1 vs $c2")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dict")) {
+      dictCost(args.lift(1).map(_.toLong).getOrElse(5000000L)); return
+    }
     if (args.headOption.contains("jaccardjoin")) { jaccardJoinCost(); return }
     if (args.headOption.contains("simhash")) { simhashCost(); return }
     if (args.headOption.contains("veccodegen")) { vecCodegenCost(); return }
