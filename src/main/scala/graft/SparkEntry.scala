@@ -33,6 +33,20 @@ object SparkEntry {
   private def eventsTranscripts(s: SparkSession, dir: String): DataFrame =
     EventTranscripts.fromEvents(tbl(s, dir, "events"))
 
+  // er3 Fellegi–Sunter field parameters: (agreement col, m = P(agree |
+  // match), u = P(agree | non-match)) — fixed (offline-estimated in a
+  // real deployment); the SAME Scala doubles feed the Spark literals and
+  // the oracle SQL (shortest round-trip repr parses to identical bits)
+  private val er3Fields = Seq(
+    ("agree_lang", 0.95, 0.30),
+    ("agree_source", 0.90, 0.20),
+    ("agree_len", 0.90, 0.25),
+    ("agree_tokens", 0.85, 0.05))
+
+  private def er3WeightSql: String = er3Fields.map { case (f, m, u) =>
+    s"CASE WHEN $f THEN ${math.log(m / u)} ELSE ${math.log((1 - m) / (1 - u))} END"
+  }.mkString(" + ")
+
   /** kg39/kg40 shared stage: the DeepWalk walk corpus over the KG. */
   private def kgWalks(s: SparkSession, dir: String): DataFrame =
     graft.graph.RandomWalks.walks(
@@ -683,6 +697,34 @@ object SparkEntry {
       graft.link.SortedNeighborhood.pairs(
         tbl(s, dir, "documents"), "doc_id",
         sortKey = key, bucketKey = substring(key, 1, 2), windowSize = 4)
+    }),
+
+    // Fellegi–Sunter match scoring over the er2 candidate pairs — the ER
+    // decision layer the reference's bucket-only linking lacks: per-field
+    // agreement booleans (integer-arithmetic thresholds, no float
+    // compares) weighed by fixed ln(m/u) log-likelihood ratios; a pure
+    // projection over the blocked pair table, zero extra shuffle
+    "er3_match_scores" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val key = substring(lower(col("text")), 1, 24)
+      val pairs = graft.link.SortedNeighborhood.pairs(docs, "doc_id",
+        sortKey = key, bucketKey = substring(key, 1, 2), windowSize = 4)
+      def side(sfx: String) = docs.select(col("doc_id").as(s"id_$sfx"),
+        col("lang").as(s"_l$sfx"), col("source").as(s"_s$sfx"),
+        array_distinct(split(col("text"), " ")).as(s"_w$sfx"),
+        length(col("text")).as(s"_n$sfx"))
+      val j = pairs.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
+      val inter = size(array_intersect(col("_wa"), col("_wb")))
+      val withAgree = j
+        .withColumn("agree_lang", col("_la") === col("_lb"))
+        .withColumn("agree_source", col("_sa") === col("_sb"))
+        .withColumn("agree_len", least(col("_na"), col("_nb")) * 10
+          >= greatest(col("_na"), col("_nb")) * 8)
+        .withColumn("agree_tokens",
+          inter * 2 >= size(col("_wa")) + size(col("_wb")) - inter)
+      graft.link.MatchScoring.score(withAgree, er3Fields)
+        .select("id_a", "id_b", "agree_lang", "agree_source", "agree_len",
+          "agree_tokens", "score")
     }),
 
     // SimHash near-dup pairs (banded 64-bit, Hamming<=3). FULLY oracle-backed:
@@ -2113,6 +2155,33 @@ object SparkEntry {
         |SELECT least(a.doc_id, c.doc_id) AS id_a,
         |       greatest(a.doc_id, c.doc_id) AS id_b
         |FROM s a JOIN s c ON a.b = c.b AND c.rn - a.rn BETWEEN 1 AND 3""".stripMargin,
+
+    "er3_match_scores" ->
+      s"""WITH k AS (SELECT doc_id, substring(lower(text), 1, 24) AS key
+         |  FROM documents),
+         |s AS (SELECT doc_id, key, substring(key, 1, 2) AS b,
+         |    row_number() OVER (PARTITION BY substring(key, 1, 2)
+         |      ORDER BY key, doc_id) AS rn
+         |  FROM k),
+         |p AS (SELECT least(a.doc_id, c.doc_id) AS id_a,
+         |    greatest(a.doc_id, c.doc_id) AS id_b
+         |  FROM s a JOIN s c ON a.b = c.b AND c.rn - a.rn BETWEEN 1 AND 3),
+         |d AS (SELECT doc_id, lang, source,
+         |    list_distinct(string_split(text, ' ')) AS w,
+         |    length(text) AS n
+         |  FROM documents),
+         |j AS (SELECT p.id_a, p.id_b,
+         |    da.lang = db.lang AS agree_lang,
+         |    da.source = db.source AS agree_source,
+         |    least(da.n, db.n) * 10 >= greatest(da.n, db.n) * 8 AS agree_len,
+         |    2 * len(list_intersect(da.w, db.w))
+         |      >= len(da.w) + len(db.w) - len(list_intersect(da.w, db.w))
+         |      AS agree_tokens
+         |  FROM p JOIN d da ON p.id_a = da.doc_id
+         |         JOIN d db ON p.id_b = db.doc_id)
+         |SELECT id_a, id_b, agree_lang, agree_source, agree_len,
+         |  agree_tokens, round($er3WeightSql, 6) AS score
+         |FROM j""".stripMargin,
 
     "dd2_minhash_pairs" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
