@@ -32,8 +32,11 @@ import org.apache.spark.sql.functions._
  */
 object EgoNets {
 
+  /** @param cutLineage checkpoint each hop (production posture); false
+    *                    keeps the raw per-hop plan visible for plan
+    *                    audits/tests — output identical. */
   def sample(edges: DataFrame, seedFraction: Double, fanouts: Seq[Int],
-             salt: String = "graft"): DataFrame = {
+             salt: String = "graft", cutLineage: Boolean = true): DataFrame = {
     require(fanouts.nonEmpty && fanouts.forall(_ > 0), "need positive fanouts")
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull
@@ -47,13 +50,17 @@ object EgoNets {
     var out: Option[DataFrame] = None
     fanouts.zipWithIndex.foreach { case (f, i) =>
       val key = md5(concat_ws("|", lit(salt), col("seed"), col("src"), col("dst")))
-      val picked = frontier
+      // lineage cut per hop (the KHop posture): `picked` feeds both the
+      // output union and the next frontier — without it the hop branches
+      // re-evaluate the whole prior join chain
+      val hopRaw = frontier
         .join(und, frontier("node") === und("src"))
         .select(col("seed"), col("src"), col("dst"))
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col("seed"), col("src")).orderBy(key)))
         .filter(col("_rn") <= f)
         .select(col("seed"), lit(i + 1).as("hop"), col("src"), col("dst"))
+      val picked = if (cutLineage) hopRaw.localCheckpoint(false) else hopRaw
       out = Some(out.fold(picked)(_.unionByName(picked)))
       frontier = picked.select(col("seed"), col("dst").as("node")).distinct()
     }

@@ -55,8 +55,12 @@ object RandomWalks {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** @param cutLineage checkpoint each step (production posture); false
+    *                    keeps the raw per-step plan visible for plan
+    *                    audits/tests — output identical. */
   def walks(edges: DataFrame, startFraction: Double, walksPerNode: Int,
-            length: Int, salt: String = "graft"): DataFrame = {
+            length: Int, salt: String = "graft",
+            cutLineage: Boolean = true): DataFrame = {
     require(walksPerNode > 0 && length > 0, "need positive walk shape")
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull
@@ -73,10 +77,15 @@ object RandomWalks {
     (1 to length).foreach { step =>
       val key = md5(concat_ws("|", lit(salt), col("start"), col("walk_idx"),
         lit(step), col("src"), col("dst")))
-      cur = cur.join(und, cur("node") === und("src"))
+      // lineage cut per step (the KHop posture): `cur` feeds BOTH the next
+      // step's join and its own output branch — without it the L output
+      // branches re-evaluate the whole prior join chain, O(L²) work at
+      // DeepWalk's typical L=40..80
+      val stepped = cur.join(und, cur("node") === und("src"))
         .groupBy(col("start"), col("walk_idx"))
         .agg(min(struct(key.as("k"), col("dst").as("d"))).as("_c"))
         .select(col("start"), col("walk_idx"), col("_c.d").as("node"))
+      cur = if (cutLineage) stepped.localCheckpoint(false) else stepped
       out = out.unionByName(cur.withColumn("step", lit(step))
         .select(col("start"), col("walk_idx"), col("step"), col("node")))
     }

@@ -528,7 +528,10 @@ class PlanSpec extends SparkSpec {
   test("kg39 walks: each step is a partial arg-min agg, never a window") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
-    val out = graft.graph.RandomWalks.walks(edges, 1.0, 2, 3, "t")
+    // cutLineage=false: the production path checkpoints each step, which
+    // hides the per-step aggregate behind an RDD scan in the final plan
+    val out = graft.graph.RandomWalks.walks(edges, 1.0, 2, 3, "t",
+      cutLineage = false)
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("partial_min"),
       s"expected map-side combine of the step arg-min struct:\n${p.take(1500)}")
@@ -537,7 +540,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("kg38 ego-nets: per-(ego, node) top-F plans as WindowGroupLimit, joins stay equi") {
-    val p = plan(SparkEntry.queries("kg38_egonets")(spark, dir))
+    import spark.implicits._
+    // cutLineage=false: the production path checkpoints each hop, which
+    // hides the per-hop window behind an RDD scan in the final plan
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "dst")
+    val p = plan(graft.graph.EgoNets.sample(edges, 1.0, Seq(3, 2), "t",
+      cutLineage = false))
     // the fan-out cap must run as WindowGroupLimit (partial top-F
     // map-side before the exchange — hub nodes ship F rows per ego,
     // never their degree), one per hop
