@@ -47,6 +47,59 @@ object SparkEntry {
     s"CASE WHEN $f THEN ${math.log(m / u)} ELSE ${math.log((1 - m) / (1 - u))} END"
   }.mkString(" + ")
 
+  // shared er3/er4 oracle blocks: sorted-neighborhood candidates, per-pair
+  // agreement booleans, and the Fellegi–Sunter `scored` table
+  private def er3OracleCtes: String =
+    s"""k AS (SELECT doc_id, substring(lower(text), 1, 24) AS key
+       |  FROM documents),
+       |s AS (SELECT doc_id, key, substring(key, 1, 2) AS b,
+       |    row_number() OVER (PARTITION BY substring(key, 1, 2)
+       |      ORDER BY key, doc_id) AS rn
+       |  FROM k),
+       |p AS (SELECT least(a.doc_id, c.doc_id) AS id_a,
+       |    greatest(a.doc_id, c.doc_id) AS id_b
+       |  FROM s a JOIN s c ON a.b = c.b AND c.rn - a.rn BETWEEN 1 AND 3),
+       |d AS (SELECT doc_id, lang, source,
+       |    list_distinct(string_split(text, ' ')) AS w,
+       |    length(text) AS n
+       |  FROM documents),
+       |j AS (SELECT p.id_a, p.id_b,
+       |    da.lang = db.lang AS agree_lang,
+       |    da.source = db.source AS agree_source,
+       |    least(da.n, db.n) * 10 >= greatest(da.n, db.n) * 8 AS agree_len,
+       |    2 * len(list_intersect(da.w, db.w))
+       |      >= len(da.w) + len(db.w) - len(list_intersect(da.w, db.w))
+       |      AS agree_tokens
+       |  FROM p JOIN d da ON p.id_a = da.doc_id
+       |         JOIN d db ON p.id_b = db.doc_id),
+       |scored AS (SELECT id_a, id_b, agree_lang, agree_source, agree_len,
+       |    agree_tokens, round($er3WeightSql, 6) AS score
+       |  FROM j)""".stripMargin
+
+  /** er3/er4 shared stage: Fellegi–Sunter-scored er2 candidate pairs. */
+  private def er3Scored(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val key = substring(lower(col("text")), 1, 24)
+    val pairs = graft.link.SortedNeighborhood.pairs(docs, "doc_id",
+      sortKey = key, bucketKey = substring(key, 1, 2), windowSize = 4)
+    def side(sfx: String) = docs.select(col("doc_id").as(s"id_$sfx"),
+      col("lang").as(s"_l$sfx"), col("source").as(s"_s$sfx"),
+      array_distinct(split(col("text"), " ")).as(s"_w$sfx"),
+      length(col("text")).as(s"_n$sfx"))
+    val j = pairs.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
+    val inter = size(array_intersect(col("_wa"), col("_wb")))
+    val withAgree = j
+      .withColumn("agree_lang", col("_la") === col("_lb"))
+      .withColumn("agree_source", col("_sa") === col("_sb"))
+      .withColumn("agree_len", least(col("_na"), col("_nb")) * 10
+        >= greatest(col("_na"), col("_nb")) * 8)
+      .withColumn("agree_tokens",
+        inter * 2 >= size(col("_wa")) + size(col("_wb")) - inter)
+    graft.link.MatchScoring.score(withAgree, er3Fields)
+      .select("id_a", "id_b", "agree_lang", "agree_source", "agree_len",
+        "agree_tokens", "score")
+  }
+
   /** kg39/kg40 shared stage: the DeepWalk walk corpus over the KG. */
   private def kgWalks(s: SparkSession, dir: String): DataFrame =
     graft.graph.RandomWalks.walks(
@@ -704,27 +757,21 @@ object SparkEntry {
     // agreement booleans (integer-arithmetic thresholds, no float
     // compares) weighed by fixed ln(m/u) log-likelihood ratios; a pure
     // projection over the blocked pair table, zero extra shuffle
-    "er3_match_scores" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
-      val key = substring(lower(col("text")), 1, 24)
-      val pairs = graft.link.SortedNeighborhood.pairs(docs, "doc_id",
-        sortKey = key, bucketKey = substring(key, 1, 2), windowSize = 4)
-      def side(sfx: String) = docs.select(col("doc_id").as(s"id_$sfx"),
-        col("lang").as(s"_l$sfx"), col("source").as(s"_s$sfx"),
-        array_distinct(split(col("text"), " ")).as(s"_w$sfx"),
-        length(col("text")).as(s"_n$sfx"))
-      val j = pairs.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
-      val inter = size(array_intersect(col("_wa"), col("_wb")))
-      val withAgree = j
-        .withColumn("agree_lang", col("_la") === col("_lb"))
-        .withColumn("agree_source", col("_sa") === col("_sb"))
-        .withColumn("agree_len", least(col("_na"), col("_nb")) * 10
-          >= greatest(col("_na"), col("_nb")) * 8)
-        .withColumn("agree_tokens",
-          inter * 2 >= size(col("_wa")) + size(col("_wb")) - inter)
-      graft.link.MatchScoring.score(withAgree, er3Fields)
-        .select("id_a", "id_b", "agree_lang", "agree_source", "agree_len",
-          "agree_tokens", "score")
+    "er3_match_scores" -> ((s, dir) => er3Scored(s, dir)),
+
+    // end-to-end ER capstone: er3 scores ≥ τ become links, links become
+    // clusters via the same large/small-star connected components the KG
+    // canonicalization runs; output is the doc→cluster assignment table
+    // with cluster sizes — block → score → threshold → cluster, the full
+    // Fellegi–Sunter pipeline as one query (oracle CC = recursive CTE)
+    "er4_er_clusters" -> ((s, dir) => {
+      val links = er3Scored(s, dir).filter(col("score") >= 2.0)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val cc = graft.link.ConnectedComponents.run(links)
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("component"))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"))
     }),
 
     // SimHash near-dup pairs (banded 64-bit, Hamming<=3). FULLY oracle-backed:
@@ -2157,31 +2204,23 @@ object SparkEntry {
         |FROM s a JOIN s c ON a.b = c.b AND c.rn - a.rn BETWEEN 1 AND 3""".stripMargin,
 
     "er3_match_scores" ->
-      s"""WITH k AS (SELECT doc_id, substring(lower(text), 1, 24) AS key
-         |  FROM documents),
-         |s AS (SELECT doc_id, key, substring(key, 1, 2) AS b,
-         |    row_number() OVER (PARTITION BY substring(key, 1, 2)
-         |      ORDER BY key, doc_id) AS rn
-         |  FROM k),
-         |p AS (SELECT least(a.doc_id, c.doc_id) AS id_a,
-         |    greatest(a.doc_id, c.doc_id) AS id_b
-         |  FROM s a JOIN s c ON a.b = c.b AND c.rn - a.rn BETWEEN 1 AND 3),
-         |d AS (SELECT doc_id, lang, source,
-         |    list_distinct(string_split(text, ' ')) AS w,
-         |    length(text) AS n
-         |  FROM documents),
-         |j AS (SELECT p.id_a, p.id_b,
-         |    da.lang = db.lang AS agree_lang,
-         |    da.source = db.source AS agree_source,
-         |    least(da.n, db.n) * 10 >= greatest(da.n, db.n) * 8 AS agree_len,
-         |    2 * len(list_intersect(da.w, db.w))
-         |      >= len(da.w) + len(db.w) - len(list_intersect(da.w, db.w))
-         |      AS agree_tokens
-         |  FROM p JOIN d da ON p.id_a = da.doc_id
-         |         JOIN d db ON p.id_b = db.doc_id)
-         |SELECT id_a, id_b, agree_lang, agree_source, agree_len,
-         |  agree_tokens, round($er3WeightSql, 6) AS score
-         |FROM j""".stripMargin,
+      s"""WITH $er3OracleCtes
+         |SELECT * FROM scored""".stripMargin,
+
+    "er4_er_clusters" ->
+      s"""WITH RECURSIVE $er3OracleCtes,
+         |links AS (SELECT id_a AS a, id_b AS b FROM scored
+         |  WHERE score >= 2.0),
+         |und AS (SELECT a, b FROM links UNION SELECT b, a FROM links),
+         |nodes AS (SELECT DISTINCT a AS id FROM und),
+         |reach AS (SELECT id, id AS r FROM nodes
+         |  UNION SELECT u.b AS id, reach.r FROM reach
+         |    JOIN und u ON u.a = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+         |  FROM comp GROUP BY 1)
+         |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
+         |FROM comp JOIN sizes USING (cluster_id)""".stripMargin,
 
     "dd2_minhash_pairs" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
