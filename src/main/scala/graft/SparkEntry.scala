@@ -111,7 +111,9 @@ object SparkEntry {
     * intervals (gap > 3 days splits). Triples re-join their turn's `ts`
     * on (conv_id, turn_idx) — the kg27 oracle precedent. */
   private def validityIntervals(s: SparkSession, dir: String): DataFrame = {
-    val t = eventsTranscripts(s, dir)
+    // lineage cut: t feeds both the extraction and the ts re-join —
+    // without it the events→turns window chain evaluates twice per build
+    val t = eventsTranscripts(s, dir).localCheckpoint(false)
     val tr = Extraction.triplesRaw(t)
       .select(col("conv_id"), col("turn_idx"),
         col("subj_raw").as("subj"), col("pred"), col("obj_raw").as("obj"))
@@ -449,8 +451,14 @@ object SparkEntry {
       }
       val mentions = t.select(col("subj").as("entity"), subjT.as("etype"))
         .unionByName(t.select(col("obj").as("entity"), objT.as("etype")))
+      // lineage cuts: types (entity-grain, small) and the schema
+      // (#labels × #preds) each drag the full cached-pipeline plan tree
+      // into the validation join — cut, the kg26 static plan collapses
+      // from ~13k printed lines / 341 scans to the anti-join itself
       val types = graft.graph.EntityTyping.plurality(mentions, "entity", "etype")
-      graft.schemadisc.Validation.requiredViolations(t, types, r.nodeSchema)
+        .localCheckpoint(false)
+      graft.schemadisc.Validation.requiredViolations(t, types,
+        r.nodeSchema.localCheckpoint(false))
     }),
 
     // entity-type induction: plurality vote over the typed mention slots
@@ -539,31 +547,23 @@ object SparkEntry {
     // reports_to ⇒ colleague holds at ~0.93 ("managers work where their
     // reports do"), the reverse direction is weak, and that directional
     // gap is the subsumption signal a schema curator reads.
-    // COST POSTURE: implicationRules itself is linear (per-pair fan-out
-    // bounded by #predicates); the colleague BODY is group-quadratic on
-    // hub orgs — the same composition-join profile as kg23, where AQE
-    // skew-split and the blocking family's caps are the 100 TB
-    // mitigations. The fixture's single dominant org makes this the
-    // heaviest bench query by design, not by accident (~15 s at sf0.1 =
-    // 2.25M materialized body facts)
-    "kg35_implications" -> ((s, dir) => {
-      // lineage cut: t feeds BOTH self-join sides and the union — without
-      // it the canonicalization pipeline replays once per consumer (the
-      // kg17/kg18 lineage-cut precedent; measured 18.1 s at sf0.1)
-      val t = eventsPipeline(s, dir).tripleSet.localCheckpoint(false)
-      val w = t.filter(col("pred") === "works_at")
-      // NOT salted deliberately: w broadcasts (bounded works_at side), so
-      // the hot org never lands on one reducer — the body's cost is its
-      // OUTPUT volume, which salting cannot reduce. operators.SaltedJoin
-      // is the tool for when the probe side must shuffle on a hot key
-      val derived = w.alias("l")
-        .join(w.alias("r"),
-          col("l.obj") === col("r.obj") && col("l.subj") =!= col("r.subj"))
-        .select(col("l.subj").as("subj"), lit("colleague").as("pred"),
-          col("r.subj").as("obj"))
-      graft.graph.RuleMining.implicationRules(
-        t.unionByName(derived), minSupport = 2L)
-    }),
+    // COST POSTURE (r6 rework): implicationRules itself is linear, but the
+    // colleague BODY (works_at ⋈ works_at on the org) is group-quadratic
+    // on hub orgs — the r5 form materialized, deduplicated, checkpointed
+    // and re-self-joined 2.25M body facts from ONE dominant org at sf0.1
+    // (~10^14 at 100×). implicationRulesWithCoMemberBody computes the
+    // IDENTICAL output (RuleMiningSpec pins the equality) without ever
+    // storing the pair set: supports come from two linear membership
+    // joins; the one quadratic quantity left (the distinct body-pair
+    // count) streams through a partial-agg count_distinct — an aggregate
+    // pass, not a materialized table. Salting would not help here either
+    // way: the cost was output volume, not reducer skew.
+    "kg35_implications" -> ((s, dir) =>
+      graft.graph.RuleMining.implicationRulesWithCoMemberBody(
+        eventsPipeline(s, dir).tripleSet,
+        eventsPipeline(s, dir).tripleSet.filter(col("pred") === "works_at")
+          .select(col("subj"), col("obj")),
+        bodyPred = "colleague", minSupport = 2L)),
 
     // GraphSAGE-style ego-net sampling — GNN training-data prep over the
     // constructed KG: hash-sampled egos (sm1's pushdown-able predicate on
@@ -618,8 +618,12 @@ object SparkEntry {
     // at scale: range partition + local row_number + prefix offsets,
     // never a single-partition global window
     "kg34_encoded" -> ((s, dir) => {
+      // lineage cut: encodeTriples reads its input four ways (subj ∪ obj
+      // entity dict, predicate dict, and the encoded join probe) — without
+      // the cut the extraction chain replays per consumer
       val tr = Extraction.triplesRaw(eventsTranscripts(s, dir))
         .select(col("subj_raw").as("subj"), col("pred"), col("obj_raw").as("obj"))
+        .localCheckpoint(false)
       val (_, _, enc) = graft.graph.Dictionary.encodeTriples(
         tr, "subj", "pred", "obj")
       enc.groupBy("s_id", "p_id", "o_id").agg(count(lit(1)).as("n_obs"))

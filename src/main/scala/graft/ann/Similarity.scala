@@ -81,12 +81,16 @@ object Similarity {
                      pairBudget: Long = Long.MaxValue): DataFrame = {
     val p = if (planes >= 0) planes
             else graft.link.MinHashBlocking.numBits(df.count())
+    // lineage cut: the signature index feeds capBuckets (count + semi)
+    // and both join sides — the same four-consumer shape as
+    // [[graft.textops.Dedup.embeddingPairs]]; cut once, compute once
     val indexed0 = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           org.apache.spark.sql.graftfns.VectorExpressions
             .euclidean_sig(col(vecCol), p, t, width).as("sig"))): _*)).as("_b"))
       .select(col("_id"), col("_v"), col("_b.t").as("_t"), col("_b.sig").as("_sig"))
+      .localCheckpoint(false)
     val indexed = graft.link.MinHashBlocking.capBuckets(
       indexed0, Seq("_t", "_sig"), maxBucket, pairBudget)
     val a = indexed.select(col("_t"), col("_sig"), col("_id").as("id_a"), col("_v").as("_v_a"))

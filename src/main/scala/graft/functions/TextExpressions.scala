@@ -218,4 +218,307 @@ object TextExpressions {
   /** Column API: content-defined chunk start offsets. */
   def cdc_bounds(c: Column, min: Int, avg: Int, max: Int): Column =
     ExpressionUtils.column(CdcBounds(ExpressionUtils.expression(c), min, avg, max))
+
+  // ---- word_shingle_hashes: fused word n-gram shingling + xxhash64 ----
+
+  /**
+   * Distinct word n-gram shingles of a string, 64-bit hashed — the native
+   * fusion of the dedup family's featurize chain
+   * `shingleBaseHashes(wordShingles(text, n))`, i.e.
+   * `transform(array_distinct(transform(sequence(...), array_join(slice(
+   * split(text, " "), ...)))), s -> xxhash64(s))`. Every higher-order
+   * function in that chain is CodegenFallback (interpreted per element,
+   * per row, with a Catalyst array materialized per gram); this is one
+   * byte-level pass.
+   *
+   * Value parity (spec-pinned): `split(text, " ")` keeps empty tokens
+   * (limit −1), so word boundaries are exactly the 0x20 byte positions —
+   * safe on UTF-8 (0x20 never occurs inside a multibyte sequence); a gram
+   * joined with " " is then a CONTIGUOUS byte range of the input, hashed
+   * in place with Spark's own XXH64 at seed 42 — bit-identical to
+   * `xxhash64(gram_string)`, so downstream minhash banding (dd2/dd8/er1)
+   * selects IDENTICAL candidate pairs. Dedup is by hash value rather than
+   * gram string: the arrays differ only if two distinct grams of ONE
+   * document collide in xxhash64 (~n²/2⁶⁵ — the family's long-accepted
+   * collision posture).
+   */
+  def wordShingleHashes(input: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val bytes = input.getBytes
+    val len = bytes.length
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords)
+    val ends = new Array[Int](nWords)
+    var w = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = len
+    val nGrams = if (nWords >= n) nWords - n + 1 else 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nGrams * 2)
+    var g = 0
+    while (g < nGrams) {
+      val last = math.min(g + n, nWords) - 1
+      val from = starts(g)
+      seen.add(XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + from, ends(last) - from, 42L))
+      g += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class WordShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"shingle width $n")
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      wordShingleHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.sql.graftfns.TextExpressions.wordShingleHashes($c, $n)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Column API: distinct hashed word n-gram shingles. */
+  def word_shingle_hashes(c: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(c), n))
+
+  // ---- minhash_sig: k seeded minhash values over pre-hashed shingles ----
+
+  /**
+   * k-element minhash signature over a base-hash array — the native form
+   * of `array((0 until k).map(i => array_min(transform(bh, h ->
+   * xxhash64(lit(i), h)))))`: per slot i the minimum of
+   * `XXH64.hashLong(h, XXH64.hashInt(i, 42))` over the elements, which is
+   * bit-identical to Spark's `xxhash64(lit(i), h)` seed-chaining, so the
+   * banding keys (and therefore every LSH candidate set) are unchanged.
+   * An empty input array yields k null slots exactly like `array_min`
+   * over an empty transform; a null element leaves the running hash at
+   * its seed exactly like xxhash64's null-skipping.
+   */
+  def minhashSig(arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int)
+  : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k))
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val seed = XXH64.hashInt(i, 42L)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = if (arr.isNullAt(j)) seed else XXH64.hashLong(arr.getLong(j), seed)
+        if (v < m) m = v
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Null-input form: k null slots — what `array((0 until k).map(i =>
+    * array_min(transform(null, ...))))` evaluates to. The expression is
+    * therefore never null itself (parity with the HOF chain, whose outer
+    * `array(...)` constructor is non-null). */
+  def minhashSigNull(k: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
+
+  case class MinhashSignature(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1, s"signature length $k")
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = true)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) minhashSigNull(k)
+      else minhashSig(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      val fn = "org.apache.spark.sql.graftfns.TextExpressions"
+      ev.copy(code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? $fn.minhashSigNull($k) : $fn.minhashSig(${c.value}, $k);""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Column API: k-slot minhash signature over pre-hashed shingles. */
+  def minhash_sig(c: Column, k: Int): Column =
+    ExpressionUtils.column(MinhashSignature(ExpressionUtils.expression(c), k))
+
+  // ---- deletion_variant_hashes: SymSpell delete-1 neighborhood keys ----
+
+  /**
+   * xxhash64 keys of a string's deletion-1 neighborhood: the string
+   * itself plus every delete-one-CHARACTER variant, deduplicated — the
+   * native form of the dd10 blocker's
+   * `transform(sequence(1, length(s)), i -> concat(substr(..i-1),
+   * substr(i+1..)))` chain, whose every element was an interpreted HOF
+   * call materializing a Catalyst string. Deletion is character-based
+   * (substr semantics), so multibyte text drops whole code points.
+   * Values are bit-identical to `xxhash64(variant_string)` (seed 42 over
+   * the variant's UTF-8 bytes); only the self-join key space depends on
+   * them — the banded levenshtein verify downstream is what decides.
+   */
+  def deletionVariantHashes(input: UTF8String)
+  : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val bytes = input.getBytes
+    val len = bytes.length
+    // char start offsets (UTF-8 lead bytes)
+    var nChars = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xC0) != 0x80) nChars += 1; i += 1 }
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nChars) = len
+    val seen = new java.util.LinkedHashSet[java.lang.Long]((nChars + 2) * 2)
+    seen.add(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, len, 42L))
+    if (nChars > 0) {
+      val buf = new Array[Byte](len)
+      var k = 0
+      while (k < nChars) {
+        val from = starts(k)
+        val to = starts(k + 1)
+        System.arraycopy(bytes, 0, buf, 0, from)
+        System.arraycopy(bytes, to, buf, from, len - to)
+        seen.add(XXH64.hashUnsafeBytes(
+          buf, Platform.BYTE_ARRAY_OFFSET, len - (to - from), 42L))
+        k += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class DeletionVariantHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      deletionVariantHashes(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.sql.graftfns.TextExpressions.deletionVariantHashes($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Column API: hashed delete-1 neighborhood keys (self included). */
+  def deletion_variant_hashes(c: Column): Column =
+    ExpressionUtils.column(DeletionVariantHashes(ExpressionUtils.expression(c)))
+
+  // ---- min_gram_md5: winnowing-style minimum shingle digest ----
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /**
+   * Minimum md5 hex digest over a string's word n-gram shingles — the
+   * native form of tx4's `array_min(transform(wordShingles(s, n), md5))`,
+   * which evaluated one interpreted HOF call and one Catalyst string per
+   * gram. Grams are built exactly like [[wordShingleHashes]] (contiguous
+   * byte ranges under single-space split); the minimum over lowercase hex
+   * strings equals the minimum over digest bytes compared unsigned (hex
+   * encoding is monotone), so the digest is hex-encoded once at the end.
+   * Value is bit-identical to the HOF form (spec-pinned) — it is
+   * oracle-visible, so it must be.
+   */
+  def minGramMd5(input: UTF8String, n: Int): UTF8String = {
+    val bytes = input.getBytes
+    val len = bytes.length
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords)
+    val ends = new Array[Int](nWords)
+    var w = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = len
+    val nGrams = if (nWords >= n) nWords - n + 1 else 1
+    val md = md5Local.get()
+    var best: Array[Byte] = null
+    var g = 0
+    while (g < nGrams) {
+      val last = math.min(g + n, nWords) - 1
+      md.reset()
+      md.update(bytes, starts(g), ends(last) - starts(g))
+      val d = md.digest()
+      if (best == null || unsignedLess(d, best)) best = d
+      g += 1
+    }
+    val hex = new Array[Byte](32)
+    val digits = "0123456789abcdef".getBytes
+    i = 0
+    while (i < 16) {
+      hex(i * 2) = digits((best(i) >> 4) & 0xF)
+      hex(i * 2 + 1) = digits(best(i) & 0xF)
+      i += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xFF
+      val y = b(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  case class MinGramMd5(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"gram width $n")
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      minGramMd5(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.sql.graftfns.TextExpressions.minGramMd5($c, $n)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Column API: minimum md5 hex over word n-gram shingles. */
+  def min_gram_md5(c: Column, n: Int): Column =
+    ExpressionUtils.column(MinGramMd5(ExpressionUtils.expression(c), n))
 }

@@ -36,8 +36,12 @@ object ConflictResolution {
    */
   def resolveMostRecent(provenance: DataFrame,
                         functionalPreds: DataFrame): DataFrame = {
+    // lineage cut: prov feeds both the functional (semi) and pass-through
+    // (anti) slices — without it the provenance aggregation's upstream
+    // chain replays once per slice (kg19 measured 2 full chains)
     val prov = provenance.select(col("subj"), col("pred"), col("obj"),
       col("n_observations"), col("last_turn"))
+      .localCheckpoint(false)
     val preds = functionalPreds.select(col("pred")).distinct()
     // lexicographic struct min == ORDER BY last_turn DESC,
     // n_observations DESC, obj ASC LIMIT 1 — numeric keys sign-flipped

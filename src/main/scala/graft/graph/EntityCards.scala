@@ -30,9 +30,13 @@ object EntityCards {
    *         entities.
    */
   def cards(provenance: DataFrame): DataFrame = {
+    // lineage cut: prov feeds the seen union (2×), the out-side rollup and
+    // the in-side rollup — four consumers; without it the provenance
+    // chain replays per consumer (kg20 measured 4 full upstream chains)
     val prov = provenance.select(col("subj"), col("pred"), col("obj"),
         col("first_turn"), col("last_turn"))
       .filter(col("subj").isNotNull && col("obj").isNotNull)
+      .localCheckpoint(false)
 
     val seen = prov.select(col("subj").as("entity"),
         col("first_turn"), col("last_turn"))

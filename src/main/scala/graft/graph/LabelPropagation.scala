@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -54,15 +53,19 @@ object LabelPropagation {
       .localCheckpoint(false)
     var labels = nbr.select(col("v").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val top = Window.partitionBy("v").orderBy(col("c").desc, col("label").asc)
     for (_ <- 1 to rounds) {
+      // plurality winner as an arg-min PARTIAL aggregate: lexicographic
+      // min(struct(-count, label)) == ORDER BY c DESC, label ASC LIMIT 1
+      // (the ConflictResolution/EntityTyping posture) — map-side combine
+      // collapses each node to one row before the exchange and the
+      // per-round Sort + Window the row_number formulation paid is gone
       labels = nbr
         .join(labels.withColumnRenamed("node", "u"), Seq("u"))
         .groupBy(col("v"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("_rn", row_number().over(top))
-        .filter(col("_rn") === 1)
-        .select(col("v").as("node"), col("label"))
+        .groupBy(col("v"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("_b"))
+        .select(col("v").as("node"), col("_b.l").as("label"))
         .localCheckpoint(false)
     }
     labels.select(col("node"), col("label").as("community"))

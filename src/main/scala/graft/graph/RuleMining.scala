@@ -151,6 +151,98 @@ object RuleMining {
           .as("confidence"))
   }
 
+  /**
+   * [[implicationRules]] over `triples ∪ body` where `body` is the
+   * DERIVED co-membership relation bodyPred(x, y) ⟺ ∃g:
+   * membership(x, g) ∧ membership(y, g) ∧ x ≠ y (the AMIE
+   * body-materialization step, e.g. `colleague` = shared employer from a
+   * works_at table) — WITHOUT ever materializing, deduplicating, or
+   * re-joining the quadratic pair set. On a hub group of k members the
+   * naive route materializes k·(k−1) body facts, checkpoints them, and
+   * self-joins them; this computes the identical output from:
+   *
+   *  - base ⇒ base rows: the ordinary (subj, obj)-keyed self-join of the
+   *    DISTINCT base triple set (body facts never join each other — their
+   *    predicates are equal, so the p ≠ q filter kills every such pair;
+   *    they also cannot duplicate base rows as long as `bodyPred` is not
+   *    an existing predicate, which the caller guarantees);
+   *  - p ⇒ bodyPred and bodyPred ⇒ p rows: both directions share the
+   *    SAME support — #distinct base triples (x, p, y), x ≠ y, whose
+   *    endpoints co-occur in some group. That is two LINEAR
+   *    membership joins (an org-annotation join + one left-semi), never a
+   *    pair enumeration;
+   *  - n_body_pairs(bodyPred): the one irreducibly quadratic quantity —
+   *    #distinct co-member pairs — computed as a two-stage
+   *    count_distinct AGGREGATE over the membership self-join: the pairs
+   *    stream through a partial agg and are never stored, checkpointed,
+   *    or shuffled as a table (at 100× the hub volume this is the
+   *    difference between an agg pass and a materialized 10^14-row set).
+   *
+   * Output is row-for-row identical to
+   * `implicationRules(triples ∪ bodyFacts, minSupport)` —
+   * RuleMiningSpec pins the equality against the materialized form.
+   *
+   * @param membership two-column (entity, group) table, e.g.
+   *                   works_at's (subj, obj) projection.
+   * @param bodyPred   name of the derived predicate; must not collide
+   *                   with an existing predicate of `triples`.
+   */
+  def implicationRulesWithCoMemberBody(triples: DataFrame,
+                                       membership: DataFrame,
+                                       bodyPred: String,
+                                       minSupport: Long = 1L): DataFrame = {
+    val cols = membership.columns
+    require(cols.length == 2, s"membership needs (entity, group), got ${cols.toSeq}")
+    val t = triples.select(col("subj"), col("pred"), col("obj"))
+      .filter(col("subj").isNotNull && col("pred").isNotNull && col("obj").isNotNull)
+      .distinct().localCheckpoint(false)
+    val mem = membership.select(col(cols(0)).as("_e"), col(cols(1)).as("_g"))
+      .filter(col("_e").isNotNull && col("_g").isNotNull).distinct()
+      .localCheckpoint(false)
+
+    // base ⇒ base (the body never reaches this join: equal predicates)
+    val supBase = t.alias("l")
+      .join(t.alias("r"),
+        col("l.subj") === col("r.subj") && col("l.obj") === col("r.obj")
+          && col("l.pred") =!= col("r.pred"))
+      .groupBy(col("l.pred").as("body_pred"), col("r.pred").as("head_pred"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val totals = t.groupBy(col("pred").as("body_pred"))
+      .agg(count(lit(1)).as("n_body_pairs"))
+    val baseRows = supBase.join(totals, Seq("body_pred"))
+
+    // shared support of p ⇒ body and body ⇒ p: distinct base triples
+    // whose endpoints share a group — linear annotate + semi-exists
+    val colSup = t.filter(col("subj") =!= col("obj"))
+      .join(mem.select(col("_e").as("subj"), col("_g")), Seq("subj"))
+      .join(mem.select(col("_e").as("obj"), col("_g")), Seq("obj", "_g"), "left_semi")
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .groupBy(col("pred")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .localCheckpoint(false) // feeds both direction row sets
+    val toBody = colSup
+      .select(col("pred").as("body_pred"), lit(bodyPred).as("head_pred"),
+        col("support"))
+      .join(totals, Seq("body_pred"))
+    // n_body_pairs(bodyPred): pair count as a pure aggregate — the join
+    // output feeds a partial-agg count_distinct and is never stored
+    val nBody = mem.alias("l")
+      .join(mem.alias("r"),
+        col("l._g") === col("r._g") && col("l._e") =!= col("r._e"))
+      .agg(count_distinct(col("l._e"), col("r._e")).as("n_body_pairs"))
+    val fromBody = colSup
+      .select(lit(bodyPred).as("body_pred"), col("pred").as("head_pred"),
+        col("support"))
+      .crossJoin(broadcast(nBody))
+
+    baseRows.unionByName(toBody).unionByName(fromBody)
+      .select(col("body_pred"), col("head_pred"), col("support"),
+        col("n_body_pairs"),
+        round(col("support").cast("double") / col("n_body_pairs"), 6)
+          .as("confidence"))
+  }
+
   def inversePairs(triples: DataFrame, minSupport: Long = 1L): DataFrame = {
     // consumed three times (both self-join sides + totals): materialize
     // once and cut the upstream lineage — same posture as

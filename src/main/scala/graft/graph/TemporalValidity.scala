@@ -60,9 +60,13 @@ object TemporalValidity {
    *           intervals were built, e.g. intervals over (subj, pred,
    *           obj) probed here on (subj, pred)).
    */
-  def contradictions(iv: DataFrame, keyCols: Seq[String],
+  def contradictions(ivIn: DataFrame, keyCols: Seq[String],
                      objCol: String): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
+    // lineage cut: iv feeds BOTH self-join sides — the two sides project
+    // identical columns, but without the cut each side replays the whole
+    // observation→window→interval chain (kg33 measured 8 upstream scans)
+    val iv = ivIn.localCheckpoint(false)
     val a = iv.as("a")
     val b = iv.as("b")
     val keyEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
@@ -93,10 +97,15 @@ object TemporalValidity {
    * shuffle of iv itself; with a literal `asOfDay` the filter is
    * pushdown-able to the interval store's partition pruning.
    */
-  def asOf(iv: DataFrame, asOfDay: Option[Long], grace: Long): DataFrame = {
+  def asOf(ivIn: DataFrame, asOfDay: Option[Long], grace: Long): DataFrame = {
     val withDay = asOfDay match {
-      case Some(d) => iv.withColumn("as_of_day", lit(d))
+      case Some(d) => ivIn.withColumn("as_of_day", lit(d))
       case None =>
+        // lineage cut: iv is referenced twice (horizon aggregate + main
+        // branch) and the agg subtree differs from the main one, so
+        // exchange reuse never fires — without the cut the whole interval
+        // chain evaluates twice (kg37 measured 2x the kg32 chain)
+        val iv = ivIn.localCheckpoint(false)
         iv.crossJoin(broadcast(iv.agg(max(col("to_day")).as("as_of_day"))))
     }
     withDay.filter(col("from_day") <= col("as_of_day")

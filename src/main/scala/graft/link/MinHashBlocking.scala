@@ -161,8 +161,21 @@ object MinHashBlocking {
     val rowsPerBand = 2
     val bands = if (k > 0) math.max(1, k / rowsPerBand)
                 else numBands(threshold, rowsPerBand)
-    df.withColumn("_bh", shingleBaseHashes(col(shinglesCol)))
-      .withColumn("_sig", minhashSignatureFromHashes(col("_bh"), bands * rowsPerBand))
+    // accept PRE-HASHED shingles (array<long>, e.g. the native
+    // word_shingle_hashes output) directly — string shingles go through
+    // the hash projection as before; the signature is the native
+    // codegen'd minhash_sig (bit-identical xxhash64 chain — the
+    // interpreted array_min∘transform form it replaces is pinned equal
+    // in ShingleCodegenSpec)
+    val preHashed = df.schema(shinglesCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    df.withColumn("_bh",
+        if (preHashed) col(shinglesCol) else shingleBaseHashes(col(shinglesCol)))
+      .withColumn("_sig", org.apache.spark.sql.graftfns.TextExpressions
+        .minhash_sig(col("_bh"), bands * rowsPerBand))
       .withColumn("_band", explode(bandKeys(col("_sig"), bands, rowsPerBand,
         extraKey.map(col): _*)))
       .select(col("_band"), col(idCol).as("_id"), col("_bh").as("_sh"))
@@ -172,7 +185,12 @@ object MinHashBlocking {
                      threshold: Double, k: Int = 0, extraKey: Seq[String] = Nil,
                      maxBucket: Int = 10000,
                      pairBudget: Long = Long.MaxValue): DataFrame = {
+    // lineage cut: the banded index feeds capBuckets (count + semi-join
+    // sides) AND both self-join sides — four consumers; without the cut
+    // the shingle-hash + minhash-signature projection replays once per
+    // consumer (measured 4 full upstream chains in the dd2 plan)
     val withBands = bandedIndex(df, idCol, shinglesCol, threshold, k, extraKey)
+      .localCheckpoint(false)
 
     // drop pathological buckets entirely ([[capBuckets]] — a band bucket
     // with >maxBucket members is a degenerate stop-shingle cluster; its

@@ -48,10 +48,14 @@ object Boilerplate {
     val nDocs = docs.select(col(idCol)).distinct().count()
     val maxDf = (nDocs * maxDocFrac).toLong
 
+    // lineage cut: segs feeds the document-frequency rollup AND the
+    // reassembly aggregation — without it the segmentation explode
+    // evaluates twice (cl1 measured 2 upstream scans per consumer)
     val segs = docs.select(
       col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter)))
         .as(Seq("pos", "seg")))
+      .localCheckpoint(false)
 
     // document frequency per segment: dedup (seg, doc) first so the final
     // count is a plain count (two partial-agg stages, no count(distinct)

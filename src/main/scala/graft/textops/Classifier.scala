@@ -94,12 +94,27 @@ object Classifier {
    */
   def train(docs: DataFrame, idCol: String, textCol: String, labelExpr: Column,
             iters: Int = 8, lr: Double = 0.0625, hexChars: Int = 2): Array[Long] = {
-    require(iters >= 1, s"iters $iters")
+    val perDoc = labeledFeatures(docs, idCol, textCol, labelExpr, hexChars)
+      .persist()
+    val w = trainFromFeatures(perDoc, iters, lr, hexChars)
+    perDoc.unpersist()
+    w
+  }
+
+  /** (id, _bks, _xs, _y) — the per-doc feature rollup with the weak label
+    * attached (inner join preserves every doc: the bias row guarantees a
+    * feature row and the label projection covers all ids). */
+  private def labeledFeatures(docs: DataFrame, idCol: String, textCol: String,
+                              labelExpr: Column, hexChars: Int): DataFrame = {
     val lbl = docs.select(col(idCol),
       when(labelExpr, lit(1L)).otherwise(lit(0L)).as("_y"))
-    val perDoc = perDocFeatures(docs, idCol, textCol, hexChars)
-      .join(lbl, Seq(idCol))
-      .persist()
+    perDocFeatures(docs, idCol, textCol, hexChars).join(lbl, Seq(idCol))
+  }
+
+  /** GD loop over an already-persisted labeled feature table. */
+  private def trainFromFeatures(perDoc: DataFrame, iters: Int, lr: Double,
+                                hexChars: Int): Array[Long] = {
+    require(iters >= 1, s"iters $iters")
     perDoc.count()
     val w = Array.fill(tableSize(hexChars))(0L)
     for (_ <- 1 to iters) {
@@ -116,7 +131,6 @@ object Classifier {
         .collect()
       deltas.foreach { row => w(row.getInt(0)) -= row.getLong(1) }
     }
-    perDoc.unpersist()
     w
   }
 
@@ -125,22 +139,37 @@ object Classifier {
     * after the feature rollup; with precomputed per-doc features this is
     * a pure projection. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            weights: Array[Long], hexChars: Int = 2): DataFrame = {
+            weights: Array[Long], hexChars: Int = 2): DataFrame =
+    scoreFromFeatures(docs, idCol, textCol,
+      perDocFeatures(docs, idCol, textCol, hexChars), weights, hexChars)
+
+  private def scoreFromFeatures(docs: DataFrame, idCol: String, textCol: String,
+                                perDoc: DataFrame, weights: Array[Long],
+                                hexChars: Int): DataFrame = {
     require(weights.length == tableSize(hexChars),
       s"weight table has ${weights.length} slots, expected ${tableSize(hexChars)}")
-    val perDoc = perDocFeatures(docs, idCol, textCol, hexChars)
     val z = bucket_dot(col("_bks"), col("_xs"), weights.toSeq)
     docs.select(col(idCol), size(words(col(textCol))).cast("long").as("n_tokens"))
-      .join(perDoc, Seq(idCol))
+      .join(perDoc.select(col(idCol), col("_bks"), col("_xs")), Seq(idCol))
       .select(col(idCol), col("n_tokens"),
         round(z.cast("double") / 1e12, 6).as("score"),
         when(z >= lit(500000000000L), lit(1)).otherwise(lit(0)).as("pred"))
   }
 
-  /** End-to-end: train on the weak label, score every document. */
+  /** End-to-end: train on the weak label, score every document. The
+    * labeled per-doc feature rollup is built and persisted ONCE and feeds
+    * both the GD loop and the scoring projection — the one-shot form
+    * previously tokenized and aggregated the corpus twice (train's build
+    * + score's rebuild). It stays persisted because the returned frame is
+    * lazy and still reads it; at pipeline scale persist the features to
+    * parquet instead and call [[score]] over them (scoring is a pure
+    * projection there — see the scaladoc above). */
   def classifyReport(docs: DataFrame, idCol: String, textCol: String,
                      labelExpr: Column, iters: Int = 8, lr: Double = 0.0625,
-                     hexChars: Int = 2): DataFrame =
-    score(docs, idCol, textCol,
-      train(docs, idCol, textCol, labelExpr, iters, lr, hexChars), hexChars)
+                     hexChars: Int = 2): DataFrame = {
+    val perDoc = labeledFeatures(docs, idCol, textCol, labelExpr, hexChars)
+      .persist()
+    val w = trainFromFeatures(perDoc, iters, lr, hexChars)
+    scoreFromFeatures(docs, idCol, textCol, perDoc, w, hexChars)
+  }
 }

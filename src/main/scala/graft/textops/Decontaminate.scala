@@ -27,8 +27,14 @@ import org.apache.spark.sql.functions._
  */
 object Decontaminate {
 
+  // grams are 64-bit-hashed (the native fused shingle+hash projection, one
+  // codegen'd byte pass) rather than materialized strings: the join key
+  // shrinks to 8 bytes and the per-doc gram-distinct/overlap counts are
+  // identical up to xxhash64 collisions (~n²/2⁶⁵ — the dedup family's
+  // long-standing posture; the r5 interpreted string-HOF form measured 2x+
+  // slower on the same fixture)
   private def grams(textCol: org.apache.spark.sql.Column, n: Int) =
-    Dedup.wordShingles(
+    org.apache.spark.sql.graftfns.TextExpressions.word_shingle_hashes(
       trim(regexp_replace(lower(textCol), " +", " ")), n)
 
   /**

@@ -42,7 +42,12 @@ object Dedup {
     * n-gram shingles (shingle->minhash->band->bucket-join->exact verify). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, shingleWords: Int = 3): DataFrame = {
-    val withSh = df.select(col(idCol), wordShingles(col(textCol), shingleWords).as("_shingles"))
+    // native fused shingle+hash (one byte pass, codegen'd) — replaces the
+    // interpreted wordShingles HOF chain; hash values are bit-identical
+    // (ShingleCodegenSpec), so banding and the verified pair set are too
+    val withSh = df.select(col(idCol),
+      org.apache.spark.sql.graftfns.TextExpressions
+        .word_shingle_hashes(col(textCol), shingleWords).as("_shingles"))
     MinHashBlocking.candidatePairs(withSh, idCol, "_shingles", threshold)
   }
 
@@ -153,8 +158,13 @@ object Dedup {
     // the join payload shrinks ~3x, and the expensive string-shingle chain
     // is evaluated exactly once per row — measured 2x faster and far less
     // JIT-profile-sensitive (bench_artifacts/probelab_jaccard_r5.txt)
+    // lineage cut: the shingled table feeds both self-join sides (and the
+    // cap machinery when enabled) — without it the wordShingles + hash
+    // projection evaluates once per side (dd4 measured 2 upstream chains)
     val withSh0 = df.select(col(blockCol).as("_blk"), col(idCol),
-      MinHashBlocking.shingleBaseHashes(wordShingles(col(textCol), n)).as("_sh"))
+      org.apache.spark.sql.graftfns.TextExpressions
+        .word_shingle_hashes(col(textCol), n).as("_sh"))
+      .localCheckpoint(false)
     val withSh =
       if (maxBlock == Int.MaxValue && pairBudget == Long.MaxValue) withSh0
       else MinHashBlocking.capBuckets(withSh0, Seq("_blk"), maxBlock, pairBudget)
@@ -244,7 +254,8 @@ object Dedup {
   private def rareFirstSorted(df: DataFrame, idCol: String, textCol: String,
                               n: Int): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-        MinHashBlocking.shingleBaseHashes(wordShingles(col(textCol), n)).as("_sh"))
+        org.apache.spark.sql.graftfns.TextExpressions
+          .word_shingle_hashes(col(textCol), n).as("_sh"))
       .filter(size(col("_sh")) > 0)
     val toks = sh.select(col("id"), explode(col("_sh")).as("_t"))
     val dfs = toks.groupBy("_t").agg(count(lit(1)).as("_df"))
@@ -333,11 +344,16 @@ object Dedup {
                      maxBucket: Int = 10000,
                      pairBudget: Long = Long.MaxValue): DataFrame = {
     val m = if (bits >= 0) bits else MinHashBlocking.numBits(df.count())
+    // lineage cut: the signature index feeds capBuckets (count + semi)
+    // and both the exact and multiprobe join sides — without it the
+    // hyperplane signatures recompute once per consumer (dd5 measured 4
+    // upstream chains / 16 corpus scans in the static plan)
     val indexed0 = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           graft.ann.Similarity.hyperplaneSignature(col(vecCol), m, t).as("sig"))): _*)).as("_b"))
       .select(col("_id"), col("_v"), col("_b.t").as("_t"), col("_b.sig").as("_s0"))
+      .localCheckpoint(false)
     val indexed = MinHashBlocking.capBuckets(indexed0, Seq("_t", "_s0"), maxBucket, pairBudget)
     val a = indexed.select(col("_t"), col("_s0").as("_sig"),
       col("_id").as("id_a"), col("_v").as("_v_a"))
@@ -386,15 +402,20 @@ object Dedup {
                                    maxBucket: Int = 10000,
                                    pairBudget: Long = Long.MaxValue): DataFrame = {
     val incShingled = increment.select(col(idCol),
-      wordShingles(col(textCol), shingleWords).as("_shingles"))
+      org.apache.spark.sql.graftfns.TextExpressions
+        .word_shingle_hashes(col(textCol), shingleWords).as("_shingles"))
     val incIdx = MinHashBlocking.bandedIndex(incShingled, idCol, "_shingles", threshold)
     // one capped build side: state rows (flagged old) + increment rows —
     // capping the UNION keyed by band is the same degenerate-bucket guard
     // candidatePairs applies, and it bounds both candidate classes at once
+    // lineage cut: the capped union feeds the probe AND existing sides —
+    // without it the state/increment banding chains replay per consumer
+    // (dd8 measured 120 upstream scans in the static plan)
     val build = MinHashBlocking.capBuckets(
       stateIndex.withColumn("_new", lit(false))
         .unionByName(incIdx.withColumn("_new", lit(true))),
       Seq("_band"), maxBucket, pairBudget)
+      .localCheckpoint(false)
     val probe = build.filter(col("_new"))
       .select(col("_band"), col("_id").as("id_new"), col("_sh").as("_sh_n"),
         size(col("_sh")).as("_n_n"))
@@ -424,7 +445,8 @@ object Dedup {
                        maxBucket: Int = 10000,
                        pairBudget: Long = Long.MaxValue): DataFrame = {
     val stShingled = state.select(col(idCol),
-      wordShingles(col(textCol), shingleWords).as("_shingles"))
+      org.apache.spark.sql.graftfns.TextExpressions
+        .word_shingle_hashes(col(textCol), shingleWords).as("_shingles"))
     minhashIncrementAgainstIndex(increment,
       MinHashBlocking.bandedIndex(stShingled, idCol, "_shingles", threshold),
       idCol, textCol, threshold, shingleWords, maxBucket, pairBudget)

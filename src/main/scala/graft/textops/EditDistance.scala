@@ -49,15 +49,6 @@ import graft.link.MinHashBlocking
  */
 object EditDistance {
 
-  /** Deletion-neighborhood key strings for one row: the string plus each
-    * delete-one-char variant (deduped — "aa" deletes to "a" twice). */
-  private def deletionVariants(s: Column): Column = array_distinct(concat(
-    array(s),
-    when(length(s) > 0,
-      transform(sequence(lit(1), length(s)),
-        i => concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))))
-      .otherwise(array())))
-
   /** All pairs (id_a, id_b, dist) with levenshtein ≤ maxDist, id_a < id_b.
     * Input needs `idCol` (unique) and `strCol`; null strings are dropped. */
   def similarPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int,
@@ -68,19 +59,29 @@ object EditDistance {
       .filter(col(strCol).isNotNull)
       .select(col(idCol).as("_id"), col(strCol).as("_s"))
     val keyed0 =
-      if (maxDist <= 1) {
-        val vars = if (maxDist == 0) array(col("_s")) else deletionVariants(col("_s"))
-        rows0.select(col("_id"), col("_s"), explode(vars).as("_v"))
-          .select(col("_id"), col("_s"), xxhash64(col("_v")).as("_key"))
+      if (maxDist == 1) {
+        // native fused neighborhood+hash (one codegen'd pass; pinned
+        // equal to the r5 interpreted substr/concat HOF chain in
+        // ShingleCodegenSpec) — key values identical: xxhash64 of the
+        // same variant strings
+        rows0.select(col("_id"), col("_s"),
+          explode(org.apache.spark.sql.graftfns.TextExpressions
+            .deletion_variant_hashes(col("_s"))).as("_key"))
+      } else if (maxDist == 0) {
+        rows0.select(col("_id"), col("_s"), xxhash64(col("_s")).as("_key"))
       } else {
         val w = math.max(maxDist, 1)
         rows0.select(col("_id"), col("_s"),
           explode(array((length(col("_s")) / w).cast("long"),
             (length(col("_s")) / w).cast("long") + 1)).as("_key"))
       }
+    // lineage cut: the keyed table feeds both self-join sides (and the cap
+    // machinery when enabled) — without it the neighborhood explode
+    // evaluates once per side (dd10 measured 2 upstream chains)
+    val keyed1 = keyed0.localCheckpoint(false)
     val keyed =
-      if (maxBlock == Int.MaxValue && pairBudget == Long.MaxValue) keyed0
-      else MinHashBlocking.capBuckets(keyed0, Seq("_key"), maxBlock, pairBudget)
+      if (maxBlock == Int.MaxValue && pairBudget == Long.MaxValue) keyed1
+      else MinHashBlocking.capBuckets(keyed1, Seq("_key"), maxBlock, pairBudget)
     val a = keyed.select(col("_key"), col("_id").as("id_a"), col("_s").as("_s_a"))
     val b = keyed.select(col("_key"), col("_id").as("id_b"), col("_s").as("_s_b"))
     a.join(b, Seq("_key"))

@@ -57,7 +57,9 @@ object ExactSubstr {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
     require(k >= 1, s"k $k")
-    val grams = positionedGrams(docs, idCol, textCol, k)
+    // lineage cut: grams feeds the corpus-wide dup rollup AND the position
+    // join — without it the positioned-gram explode evaluates twice
+    val grams = positionedGrams(docs, idCol, textCol, k).localCheckpoint(false)
     // corpus-wide occurrence count (total, not per-doc: a gram repeated
     // inside one document is duplicated text too — paper semantics)
     val dup = grams.groupBy(col("gram")).count()

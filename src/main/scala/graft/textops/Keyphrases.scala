@@ -46,6 +46,14 @@ object Keyphrases {
       .select(col(idCol).as("doc_id"), explode(split(text, " +")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      // lineage cut: tf feeds both the df rollup and the scoring join, and
+      // column pruning makes the two subtrees differ so AQE exchange reuse
+      // never fires — without the cut the corpus tokenizes twice (the
+      // documented tx11 caveat). localCheckpoint spills MEMORY_AND_DISK
+      // (it does not pin a corpus-scale table in memory the way cache()
+      // would); the parquet-persisted [[tfidfTopKFromTf]] path remains the
+      // recommended shape when tf is wanted as a table anyway.
+      .localCheckpoint(false)
     val n = docs.agg(countDistinct(col(idCol)).as("_n"))
     tfidfTopKFromTf(tf, n, k)
   }

@@ -192,10 +192,14 @@ object TextAnalysis {
     * reordering of surrounding content. md5 keeps it oracle-portable. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), " +", " "))
-    val sh = Dedup.wordShingles(norm, 5)
+    // fp_min_shingle via the native one-pass expression — bit-identical
+    // to array_min(transform(wordShingles(norm, 5), md5)) (spec-pinned;
+    // the value is oracle-visible), minus one interpreted HOF call and
+    // one materialized Catalyst string per gram
     df.select(col(idCol),
       md5(norm).as("fp_content"),
-      array_min(transform(sh, s => md5(s))).as("fp_min_shingle"))
+      org.apache.spark.sql.graftfns.TextExpressions
+        .min_gram_md5(norm, 5).as("fp_min_shingle"))
   }
 
   /**

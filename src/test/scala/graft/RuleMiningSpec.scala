@@ -116,6 +116,37 @@ class RuleMiningSpec extends SparkSpec {
     assert(gotInv == wantInv)
   }
 
+  test("implicationRulesWithCoMemberBody: equals the materialized-union " +
+       "form on a seeded random KG with a hub group") {
+    val rnd = new scala.util.Random(906)
+    val ents = (0 until 20).map(i => s"e$i")
+    val preds = Seq("p0", "p1", "p2")
+    val ts = Seq.fill(220)((ents(rnd.nextInt(ents.size)),
+      preds(rnd.nextInt(preds.size)), ents(rnd.nextInt(ents.size)))).distinct
+    // membership with a deliberate hub group g0 (12 members) plus small
+    // groups and multi-group members (pairs sharing >1 group must still
+    // count once), and duplicate membership rows (must collapse)
+    val mem = ((0 until 12).map(i => (s"e$i", "g0")) ++
+      Seq(("e3", "g1"), ("e4", "g1"), ("e5", "g1"),
+        ("e13", "g2"), ("e14", "g2"), ("e3", "g2"), ("e3", "g1"))).toSeq
+    val tDf = ts.toDF("subj", "pred", "obj")
+    val mDf = mem.toDF("entity", "grp")
+    // materialized reference: body facts from the quadratic join, then
+    // the ordinary miner over the union
+    val body = (for {
+      (a, g1) <- mem; (b, g2) <- mem if g1 == g2 && a != b
+    } yield (a, "colleague", b)).distinct
+    val want = RuleMining.implicationRules(
+      tDf.unionByName(body.toDF("subj", "pred", "obj")), minSupport = 2L)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    val got = RuleMining.implicationRulesWithCoMemberBody(
+      tDf, mDf, "colleague", minSupport = 2L)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(want.exists(_._1 == "colleague") || want.exists(_._2 == "colleague"),
+      "fixture must actually exercise body-involving rules")
+  }
+
   test("compositionRules: hand-computed works_at∧based_in⇒lives_in") {
     val t = Seq(
       ("alice", "works_at", "acme"), ("acme", "based_in", "paris"),
