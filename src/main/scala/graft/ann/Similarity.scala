@@ -90,6 +90,10 @@ object Similarity {
           org.apache.spark.sql.graftfns.VectorExpressions
             .euclidean_sig(col(vecCol), p, t, width).as("sig"))): _*)).as("_b"))
       .select(col("_id"), col("_v"), col("_b.t").as("_t"), col("_b.sig").as("_sig"))
+      // repartition on the bucket key before the cut (the embeddingPairs
+      // posture): spreads a single-split corpus across the shuffle
+      // partitions instead of one task
+      .repartition(col("_t"), col("_sig"))
       .localCheckpoint(false)
     val indexed = graft.link.MinHashBlocking.capBuckets(
       indexed0, Seq("_t", "_sig"), maxBucket, pairBudget)

@@ -70,7 +70,15 @@ object LinkPrediction {
       .localCheckpoint(false)
     val w1 = w.select(col("z"), col("n").as("a"), col("aa_u"), col("ra_u"))
     val w2 = w.select(col("z"), col("n").as("b"))
-    val pairs = w1.join(w2, Seq("z"))
+    // salted witness self-join (row-identical to w1 ⋈ w2 on z): a hub
+    // witness z hashes every one of its deg² output pairs onto ONE
+    // sort-merge reducer — AQE's skew split never fires below its byte
+    // threshold, so the whole pair stream ran as a single task (measured
+    // wall ≈ total task time on the sf0.1 KG's dominant org). The
+    // structural salt spreads each hot z across 16 reducers; w1 rows are
+    // distinct by construction ((z, n) unique), so the per-row salt
+    // cannot collapse (the SaltedJoin duplicate-row caveat)
+    val pairs = graft.operators.SaltedJoin.inner(w1, w2, Seq("z"), saltFactor = 16)
       .filter(col("a") < col("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("common_neighbors"),

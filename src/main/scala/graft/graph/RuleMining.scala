@@ -225,12 +225,29 @@ object RuleMining {
       .select(col("pred").as("body_pred"), lit(bodyPred).as("head_pred"),
         col("support"))
       .join(totals, Seq("body_pred"))
-    // n_body_pairs(bodyPred): pair count as a pure aggregate — the join
-    // output feeds a partial-agg count_distinct and is never stored
-    val nBody = mem.alias("l")
-      .join(mem.alias("r"),
+    // n_body_pairs(bodyPred) by inclusion–exclusion — fully LINEAR in the
+    // membership table except a join restricted to multi-group members:
+    // Σ_g k_g·(k_g−1) counts each ordered co-member pair once per shared
+    // group, so the distinct count is that total minus Σ_pairs (m_p − 1)
+    // where m_p = #shared groups. m_p ≥ 2 requires BOTH endpoints in ≥ 2
+    // groups, so the correction enumerates pairs only among multi-group
+    // members (empty on single-membership data — a streaming aggregate
+    // never touches the hub group's quadratic pair set at all)
+    val sizes = mem.groupBy(col("_g")).agg(count(lit(1)).as("_k"))
+    val total = sizes.agg(
+      coalesce(sum(col("_k") * (col("_k") - 1)), lit(0L)).as("_tot"))
+    val multi = mem.join(
+      mem.groupBy(col("_e")).agg(count(lit(1)).as("_ng"))
+        .filter(col("_ng") >= 2).select(col("_e")),
+      Seq("_e"), "left_semi")
+    val corr = multi.alias("l")
+      .join(multi.alias("r"),
         col("l._g") === col("r._g") && col("l._e") =!= col("r._e"))
-      .agg(count_distinct(col("l._e"), col("r._e")).as("n_body_pairs"))
+      .groupBy(col("l._e").as("_x"), col("r._e").as("_y"))
+      .agg(count(lit(1)).as("_m"))
+      .agg(coalesce(sum(col("_m") - 1), lit(0L)).as("_corr"))
+    val nBody = total.crossJoin(broadcast(corr))
+      .select((col("_tot") - col("_corr")).as("n_body_pairs"))
     val fromBody = colSup
       .select(lit(bodyPred).as("body_pred"), col("pred").as("head_pred"),
         col("support"))

@@ -29,7 +29,13 @@ import org.apache.spark.sql.functions._
 object SaltedJoin {
 
   /**
-   * @param left       probe side (hot keys live here)
+   * @param left       probe side (hot keys live here). CAVEAT: the salt
+   *                    is xxhash64 of the whole left row, so left rows
+   *                    that are EXACT duplicates all draw the same salt
+   *                    and still land on one reducer — deduplicate first,
+   *                    or add a per-row disambiguator column (an id) so
+   *                    the hash spreads; callers here (kg21's witness
+   *                    side) pass distinct rows by construction.
    * @param right      build side, replicated `saltFactor`×
    * @param keys       equi-join column names (present on both sides)
    * @param saltFactor number of splits for each hot key
@@ -40,6 +46,8 @@ object SaltedJoin {
             saltFactor: Int): DataFrame = {
     require(saltFactor > 0, s"saltFactor $saltFactor")
     require(keys.nonEmpty, "need join keys")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "inputs must not already carry a _salt column")
     val l = left.withColumn("_salt",
       pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val r = right.withColumn("_salt",

@@ -164,6 +164,10 @@ object Dedup {
     val withSh0 = df.select(col(blockCol).as("_blk"), col(idCol),
       org.apache.spark.sql.graftfns.TextExpressions
         .word_shingle_hashes(col(textCol), n).as("_sh"))
+      // repartition on the block key before the cut (the dd10 posture):
+      // a single-split corpus otherwise runs the within-block join in one
+      // task; the exchange spreads it scale-adaptively
+      .repartition(col("_blk"))
       .localCheckpoint(false)
     val withSh =
       if (maxBlock == Int.MaxValue && pairBudget == Long.MaxValue) withSh0
@@ -353,6 +357,10 @@ object Dedup {
         struct(lit(t).as("t"),
           graft.ann.Similarity.hyperplaneSignature(col(vecCol), m, t).as("sig"))): _*)).as("_b"))
       .select(col("_id"), col("_v"), col("_b.t").as("_t"), col("_b.sig").as("_s0"))
+      // repartition on the bucket key before the cut: the index inherits
+      // the input's split count (a single-file corpus ran the bucket join
+      // in one task); the exchange spreads it scale-adaptively
+      .repartition(col("_t"), col("_s0"))
       .localCheckpoint(false)
     val indexed = MinHashBlocking.capBuckets(indexed0, Seq("_t", "_s0"), maxBucket, pairBudget)
     val a = indexed.select(col("_t"), col("_s0").as("_sig"),

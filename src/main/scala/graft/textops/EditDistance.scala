@@ -75,10 +75,13 @@ object EditDistance {
           explode(array((length(col("_s")) / w).cast("long"),
             (length(col("_s")) / w).cast("long") + 1)).as("_key"))
       }
-    // lineage cut: the keyed table feeds both self-join sides (and the cap
-    // machinery when enabled) — without it the neighborhood explode
-    // evaluates once per side (dd10 measured 2 upstream chains)
-    val keyed1 = keyed0.localCheckpoint(false)
+    // repartition on the join key, THEN cut lineage: the keyed table is a
+    // pure projection of its input, so it inherits the input's split
+    // count — a single-file corpus ran the whole candidate join + verify
+    // in ONE task (dd10 measured wall ≈ total task time). The exchange
+    // spreads it across spark.sql.shuffle.partitions (scale-adaptive) and
+    // the cut stops the neighborhood explode replaying per join side.
+    val keyed1 = keyed0.repartition(col("_key")).localCheckpoint(false)
     val keyed =
       if (maxBlock == Int.MaxValue && pairBudget == Long.MaxValue) keyed1
       else MinHashBlocking.capBuckets(keyed1, Seq("_key"), maxBlock, pairBudget)
