@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
  * a training-data pipeline MUST do this before shipping a corpus.
  *
  * Normalization: lowercase + whitespace collapse on both sides, then
- * distinct word n-grams per document ([[Dedup.wordShingles]]).
+ * distinct word n-grams per document, 64-bit hashed (the native
+ * word_shingle_hashes expression — see `grams` below).
  *
  * 100 TB shape: eval sets are tiny by definition (MBs against a 100 TB
  * corpus), so the bench gram table gets an explicit `broadcast` hint —

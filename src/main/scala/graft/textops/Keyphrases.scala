@@ -17,13 +17,12 @@ import org.apache.spark.sql.functions._
  * vocab-sized result broadcasts into the tf join; N is a one-row
  * broadcast; the final top-k per document plans as WindowGroupLimit
  * (per-partition k-heaps BEFORE the doc-keyed exchange, PlanSpec-pinned),
- * never a full per-doc sort materialization. PHYSICAL caveat, measured:
- * Catalyst plans a tree, not a DAG — the df branch duplicates the tf
- * subtree, and column pruning makes the two exchange subtrees differ, so
- * AQE's exchange reuse does NOT collapse them: the corpus is tokenized
- * twice in this one-shot form. (The alternatives are worse at scale: a
- * count-over-Window(term) buffers an entire stopword's group per
- * partition — OOM on Zipf heads; caching tf pins a corpus-scale table.)
+ * never a full per-doc sort materialization. Catalyst plans a tree, not a
+ * DAG — the df branch duplicates the tf subtree and column pruning makes
+ * the two exchange subtrees differ, so AQE's exchange reuse cannot
+ * collapse them; the one-shot form therefore CUTS tf's lineage with a
+ * lazy localCheckpoint (disk-spilling, unlike a cache() which would pin
+ * a corpus-scale table in memory), so the corpus tokenizes exactly once.
  * At pipeline scale, persist tf once and use [[tfidfTopKFromTf]] — tf is
  * a table you want on disk anyway, and df then truly derives from it.
  * Deterministic: score ties break on the term itself, and the double
