@@ -521,4 +521,147 @@ object TextExpressions {
   /** Column API: minimum md5 hex over word n-gram shingles. */
   def min_gram_md5(c: Column, n: Int): Column =
     ExpressionUtils.column(MinGramMd5(ExpressionUtils.expression(c), n))
+
+  // ---- simhash_md5_bits: the dd3 portable token hash, fused ----
+
+  /**
+   * The 64 portable SimHash token bits as one long — the native form of
+   * dd3's digit chain: bit j = bit (3 − j%4) of hex digit j/4 of
+   * md5(token), previously derived per token as 16×
+   * `conv(substring(md5, k+1, 1), 16, 10)` digit columns (16 UTF8String
+   * slices + 16 base conversions per token) and re-sliced by 64
+   * shift/mask expressions. Hex digit k of the md5 string is the
+   * high (k even) / low (k odd) nibble of digest byte k/2, so the long
+   * is assembled directly from the first 8 digest bytes; the bit
+   * EXTRACTION downstream (`shiftright(_h, j) & 1`) then yields values
+   * bit-identical to the digit formulation (spec-pinned), which is what
+   * the oracle replays — the 64-sum signature aggregate is unchanged.
+   */
+  def simhashMd5Bits(input: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val bytes = input.getBytes
+    md.update(bytes, 0, bytes.length)
+    val digest = md.digest()
+    var out = 0L
+    var d = 0
+    while (d < 16) {
+      val b = digest(d / 2)
+      val v = if ((d & 1) == 0) (b >> 4) & 0xF else b & 0xF
+      var t = 0
+      while (t < 4) {
+        out |= (((v >> (3 - t)) & 1).toLong << (4 * d + t))
+        t += 1
+      }
+      d += 1
+    }
+    out
+  }
+
+  case class SimhashMd5Bits(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullSafeEval(input: Any): Any =
+      simhashMd5Bits(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.sql.graftfns.TextExpressions.simhashMd5Bits($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Column API: portable simhash token bits (md5-derived) as one long. */
+  def simhash_md5_bits(c: Column): Column =
+    ExpressionUtils.column(SimhashMd5Bits(ExpressionUtils.expression(c)))
+
+  // ---- positioned_gram_hashes: es1's positioned k-grams, hashed ----
+
+  /**
+   * xxhash64 keys of the positioned word k-grams of a string under
+   * REGEX-`" +"` split semantics — the native form of es1's
+   * `transform(sequence(0, size(_w) − k), i → array_join(slice(_w, i+1,
+   * k), " "))` over `split(text, " +")`: tokens are the (possibly empty)
+   * segments between maximal space runs — a leading/trailing run yields
+   * an empty first/last token, exactly like java.util.regex split with
+   * limit −1 — and each gram joins k consecutive tokens with a SINGLE
+   * space before hashing (so multi-space originals hash like their
+   * collapsed form, as the string formulation did). Element i of the
+   * result is gram position i; fewer than k tokens → empty array (the
+   * caller's `size(_w) >= k` filter, folded in).
+   *
+   * The gram STRINGS are join/count keys only (never oracle-visible), so
+   * the 64-bit key stands in for the ~k-word string — the dc1/dc2 key
+   * narrowing posture; a cross-gram collision (~n²/2⁶⁵) could mark one
+   * extra gram duplicated, the family's long-accepted collision odds.
+   */
+  def positionedGramHashes(input: UTF8String, k: Int)
+  : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val bytes = input.getBytes
+    val len = bytes.length
+    // token boundaries under " +": segments between maximal space runs
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](len / 4 + 2)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](len / 4 + 2)
+    var i = 0
+    starts += 0
+    while (i < len) {
+      if (bytes(i) == ' ') {
+        ends += i
+        while (i < len && bytes(i) == ' ') i += 1
+        starts += i
+      } else i += 1
+    }
+    ends += len
+    val nWords = starts.length
+    if (nWords < k) return new GenericArrayData(Array.empty[Long])
+    val nGrams = nWords - k + 1
+    val out = new Array[Long](nGrams)
+    val buf = new Array[Byte](len)
+    var g = 0
+    while (g < nGrams) {
+      var contiguous = true
+      var w = g
+      while (contiguous && w < g + k - 1) {
+        if (starts(w + 1) != ends(w) + 1) contiguous = false
+        w += 1
+      }
+      if (contiguous) {
+        val from = starts(g)
+        out(g) = XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + from, ends(g + k - 1) - from, 42L)
+      } else {
+        // multi-space gaps: rebuild the gram with single spaces
+        var n = 0
+        w = g
+        while (w < g + k) {
+          if (w > g) { buf(n) = ' '; n += 1 }
+          val l = ends(w) - starts(w)
+          System.arraycopy(bytes, starts(w), buf, n, l)
+          n += l
+          w += 1
+        }
+        out(g) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, n, 42L)
+      }
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class PositionedGramHashes(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1, s"gram width $k")
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      positionedGramHashes(input.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.sql.graftfns.TextExpressions.positionedGramHashes($c, $k)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Column API: positioned word k-gram hashes (regex-split semantics). */
+  def positioned_gram_hashes(c: Column, k: Int): Column =
+    ExpressionUtils.column(PositionedGramHashes(ExpressionUtils.expression(c), k))
 }

@@ -86,12 +86,15 @@ object Dedup {
     // (projected token-hash table, bit i of the hash as a 0/1 int column)
     val (hashed, bit) =
       if (portableHash) {
-        val withDigits = tokens.withColumn("_m", md5(col("_tok"))).select(
-          col(idCol) +: (0 until 16).map { k =>
-            conv(substring(col("_m"), k + 1, 1), 16, 10).cast("int").as(s"_d$k")
-          }: _*)
-        (withDigits,
-          (i: Int) => shiftright(col(s"_d${i / 4}"), 3 - (i % 4)).bitwiseAND(lit(1)))
+        // native fused md5-digit bits (one long per token) — bit j below is
+        // identical to the digit formulation bit (3 - j%4) of hex digit j/4
+        // the oracle replays (ShingleCodegenSpec pins parity); replaces 16
+        // substring+conv digit columns per token
+        val withBits = tokens.select(col(idCol),
+          org.apache.spark.sql.graftfns.TextExpressions
+            .simhash_md5_bits(col("_tok")).as("_h"))
+        (withBits,
+          (i: Int) => shiftright(col("_h"), i).bitwiseAND(lit(1L)).cast("int"))
       } else {
         val withHash = tokens.select(col(idCol), xxhash64(col("_tok")).as("_h"))
         // arithmetic shift on a negative long is fine: the AND keeps one bit

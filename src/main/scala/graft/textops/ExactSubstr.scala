@@ -33,20 +33,22 @@ import org.apache.spark.sql.functions._
  */
 object ExactSubstr {
 
-  /** Positioned word k-grams: one row per (id, pos, gram), pos 0-based
-    * over the whitespace-token sequence. Documents shorter than k tokens
-    * produce no grams (nothing shorter can be a duplicated k-span). */
+  /** Positioned word k-grams, 64-bit hashed: one row per (id, pos, gram),
+    * pos 0-based over the whitespace-token sequence. Documents shorter
+    * than k tokens produce no grams (nothing shorter can be a duplicated
+    * k-span). Gram keys are native xxhash64 values
+    * ([[org.apache.spark.sql.graftfns.TextExpressions.positionedGramHashes]]
+    * — one byte pass replacing the interpreted transform/slice/array_join
+    * HOF chain): the gram strings were only ever count/join keys, so the
+    * 8-byte key shrinks the rollup and join shuffles (the dc1/dc2 key
+    * narrowing posture; cross-gram collision odds ~n²/2⁶⁵ are the
+    * family's accepted posture). */
   private def positionedGrams(docs: DataFrame, idCol: String,
-                              textCol: String, k: Int): DataFrame = {
-    val ws = split(col(textCol), " +")
-    docs
-      .select(col(idCol), ws.as("_w"))
-      .filter(size(col("_w")) >= k)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), size(col("_w")) - k),
-          i => array_join(slice(col("_w"), i + 1, lit(k)), " ")))
+                              textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol), posexplode(
+        org.apache.spark.sql.graftfns.TextExpressions
+          .positioned_gram_hashes(col(textCol), k))
         .as(Seq("pos", "gram")))
-  }
 
   /** Per-document maximal duplicated spans: (id, span_start, span_end,
     * span_tokens) where [span_start, span_end] is a 0-based inclusive
@@ -58,8 +60,13 @@ object ExactSubstr {
                       k: Int): DataFrame = {
     require(k >= 1, s"k $k")
     // lineage cut: grams feeds the corpus-wide dup rollup AND the position
-    // join — without it the positioned-gram explode evaluates twice
-    val grams = positionedGrams(docs, idCol, textCol, k).localCheckpoint(false)
+    // join — without it the positioned-gram explode evaluates twice.
+    // Repartition on the gram key BEFORE the cut (the dd5/dd10 posture):
+    // a single-file corpus otherwise leaves the checkpoint single-split,
+    // serializing the explode and both consumers' map sides; keying the
+    // exchange by gram also pre-establishes the rollup/join partitioning.
+    val grams = positionedGrams(docs, idCol, textCol, k)
+      .repartition(col("gram")).localCheckpoint(false)
     // corpus-wide occurrence count (total, not per-doc: a gram repeated
     // inside one document is duplicated text too — paper semantics)
     val dup = grams.groupBy(col("gram")).count()

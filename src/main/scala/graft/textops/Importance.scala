@@ -78,21 +78,44 @@ object Importance {
     require(weights.nonEmpty, "empty weight table")
     val m = map(weights.toSeq.sorted
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    val ws = words(col(textCol))
-    val score = aggregate(
-      transform(ws, w => coalesce(element_at(m, bucket(w, hexChars)), lit(0.0))),
-      lit(0.0), (acc, x) => acc + x)
-    docs.select(col(idCol), size(ws).cast("long").as("n_tokens"),
-      round(score, 6).as("score"))
+    // tokenize ONCE per row behind an alias: the word chain is a lambda
+    // expression, which subexpression elimination skips, so the
+    // single-select form re-tokenized for n_tokens and score separately;
+    // a multi-referenced non-cheap alias survives CollapseProject.
+    docs.select(col(idCol), words(col(textCol)).as("_ws"))
+      .select(col(idCol), size(col("_ws")).cast("long").as("n_tokens"),
+        round(aggregate(
+          transform(col("_ws"), w => coalesce(element_at(m, bucket(w, hexChars)), lit(0.0))),
+          lit(0.0), (acc, x) => acc + x), 6).as("score"))
   }
 
   /** End-to-end: estimate weights from `docs` (raw) vs the subset
     * matching `targetPred`, collect the ≤ 16^hexChars-row weight table,
-    * and score every document. */
+    * and score every document.
+    *
+    * Because the target is a SUBSET of `docs`, both distribution
+    * estimates come from ONE tokenize pass (target counts are a
+    * conditional count) instead of [[bucketWeights]]' two corpora × two
+    * consumers = four scans; per-bucket counts, totals, and the weight
+    * expression are identical (target-only buckets cannot exist, raw
+    * buckets absent from the target coalesced to 0 in both forms). */
   def importanceReport(docs: DataFrame, idCol: String, textCol: String,
                        targetPred: Column, hexChars: Int = 2,
                        alpha: Double = 1e-4): DataFrame = {
-    val w = bucketWeights(docs, docs.filter(targetPred), textCol, hexChars, alpha)
+    require(hexChars >= 1 && hexChars <= 4, s"hexChars $hexChars")
+    // ≤ 16^hexChars rows; cut so the totals job and the weight collect
+    // don't re-tokenize the corpus
+    val freqs = docs
+      .select(targetPred.as("_is_t"), explode(words(col(textCol))).as("_w"))
+      .groupBy(bucket(col("_w"), hexChars).as("bucket"))
+      .agg(count(lit(1)).as("_nr"), count(when(col("_is_t"), lit(1))).as("_nt"))
+      .localCheckpoint(false)
+    val totals = freqs.agg(sum(col("_nr")), sum(col("_nt"))).head
+    val (tr, tt) = (totals.getLong(0).toDouble, totals.getLong(1).toDouble)
+    val w = freqs.select(col("bucket"),
+        round(log(
+          (col("_nt").cast("double") / tt + alpha) /
+            (col("_nr").cast("double") / tr + alpha)), 6).as("w"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     scoreDocs(docs, idCol, textCol, w, hexChars)
   }

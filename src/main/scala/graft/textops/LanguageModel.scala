@@ -76,15 +76,28 @@ object LanguageModel {
     * constants. */
   def train(docs: DataFrame, textCol: String, hexChars: Int = 2,
             alpha: Double = 0.1): (Map[String, Long], Map[String, Long]) = {
+    require(hexChars >= 1 && hexChars <= 4, s"hexChars $hexChars")
     val b = math.pow(16.0, hexChars)
-    def collectMicro(df: DataFrame, f: Double => Double): Map[String, Long] =
-      df.collect().map { r =>
-        r.getString(0) -> micro(f(r.getLong(1).toDouble))
-      }.toMap
-    val num = collectMicro(bigramBucketFreqs(docs, textCol, hexChars),
-      c => math.log(c + alpha))
-    val den = collectMicro(Importance.bucketFreqs(docs, textCol, hexChars),
-      c => math.log(c + alpha * b))
+    // ONE tokenize pass for both tables: the bigram (numerator) and
+    // unigram (denominator) bucket streams explode as a tagged union and
+    // share one partial-agg shuffle/collect — counts per (tag, bucket)
+    // are identical to the separate bigramBucketFreqs/bucketFreqs jobs,
+    // which previously re-scanned and re-tokenized the corpus each.
+    val rows = docs.select(words(col(textCol)).as("_ws"))
+      .select(explode(concat(
+        transform(bigrams(col("_ws")), bg =>
+          struct(lit("b").as("tag"), bucket(bg, hexChars).as("bucket"))),
+        transform(col("_ws"), w =>
+          struct(lit("u").as("tag"), bucket(w, hexChars).as("bucket"))))).as("_t"))
+      .groupBy(col("_t.tag").as("tag"), col("_t.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val num = rows.iterator.filter(_.getString(0) == "b").map { r =>
+      r.getString(1) -> micro(math.log(r.getLong(2).toDouble + alpha))
+    }.toMap
+    val den = rows.iterator.filter(_.getString(0) == "u").map { r =>
+      r.getString(1) -> micro(math.log(r.getLong(2).toDouble + alpha * b))
+    }.toMap
     (num, den)
   }
 
@@ -103,16 +116,16 @@ object LanguageModel {
       else map(m.toSeq.sorted.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     val numM = mapLit(num)
     val denM = mapLit(den)
-    val ws = words(col(textCol))
     val pairLogp = (bg: Column) =>
       coalesce(element_at(numM, bucket(bg, hexChars)), lit(micro(math.log(alpha)))) -
         coalesce(element_at(denM,
           bucket(substring_index(bg, " ", 1), hexChars)),
           lit(micro(math.log(alpha * b))))
-    val bgs = bigrams(ws)
-    val m = size(bgs)
-    // exact long sum of micro-units — associative, order-independent
-    val total = aggregate(transform(bgs, pairLogp), lit(0L), (acc, x) => acc + x)
+    // Alias-layered selects: the tokenize/bigram HOF chains are lambda
+    // expressions, which Catalyst's subexpression elimination skips — in
+    // the single-select form each of n_bigrams/avg_logp/ppl re-evaluated
+    // the whole chain (measured ~6 evals/row). Multi-referenced non-cheap
+    // aliases survive CollapseProject, so each layer computes once.
     // avg_logp stays UNROUNDED: it derives from exact integers through a
     // fixed IEEE op sequence, so it is bit-identical everywhere — while
     // its 6-dp rounding would sit exactly ON half-boundaries (total/1e6
@@ -120,9 +133,17 @@ object LanguageModel {
     // engines' rounding implementations legitimately disagree. ppl IS
     // rounded (6 dp): exp() is transcendental — never on a boundary —
     // and the round absorbs libm's last-ulp variation.
-    val avg = when(m > 0, total.cast("double") / 1e6 / m)
-    docs.select(col(idCol), m.cast("long").as("n_bigrams"),
-      avg.as("avg_logp"), round(exp(-avg), 6).as("ppl"))
+    docs.select(col(idCol), words(col(textCol)).as("_ws"))
+      .select(col(idCol), bigrams(col("_ws")).as("_bgs"))
+      .select(col(idCol), size(col("_bgs")).as("_m"),
+        // exact long sum of micro-units — associative, order-independent
+        aggregate(transform(col("_bgs"), pairLogp),
+          lit(0L), (acc, x) => acc + x).as("_total"))
+      .select(col(idCol), col("_m"),
+        when(col("_m") > 0, col("_total").cast("double") / 1e6 / col("_m"))
+          .as("_avg"))
+      .select(col(idCol), col("_m").cast("long").as("n_bigrams"),
+        col("_avg").as("avg_logp"), round(exp(-col("_avg")), 6).as("ppl"))
   }
 
   /** End-to-end: train the hashed-bigram model on the corpus itself and

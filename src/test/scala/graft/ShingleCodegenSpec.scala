@@ -41,8 +41,61 @@ class ShingleCodegenSpec extends SparkSpec {
     for (c <- Seq(classOf[TextExpressions.WordShingleHashes],
                   classOf[TextExpressions.MinhashSignature],
                   classOf[TextExpressions.DeletionVariantHashes],
-                  classOf[TextExpressions.MinGramMd5]))
+                  classOf[TextExpressions.MinGramMd5],
+                  classOf[TextExpressions.SimhashMd5Bits]))
       assert(!fallback.isAssignableFrom(c), s"${c.getSimpleName} is CodegenFallback")
+  }
+
+  test("simhash_md5_bits: every extracted bit equals the conv-digit " +
+       "formulation's, hostile tokens, codegen and interpreted") {
+    val toks = (hostile.map(_._2) ++ Seq("word", "é", "日本語", "x1", "UPPER"))
+      .distinct.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = toks.toDF("id", "tok")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      val cols = (0 until 64).flatMap { i =>
+        val digit = conv(substring(md5(col("tok")), i / 4 + 1, 1), 16, 10).cast("int")
+        Seq(shiftright(digit, 3 - (i % 4)).bitwiseAND(lit(1)).cast("long").as(s"hof_$i"),
+          shiftright(TextExpressions.simhash_md5_bits(col("tok")), i)
+            .bitwiseAND(lit(1L)).as(s"nat_$i"))
+      }
+      val rows = withMode(mode) { df.select(col("id") +: cols: _*).collect() }
+      rows.foreach { r =>
+        (0 until 64).foreach { i =>
+          assert(r.getLong(1 + 2 * i) == r.getLong(2 + 2 * i),
+            s"mode=$mode id=${r.getLong(0)} bit=$i")
+        }
+      }
+    }
+  }
+
+  test("end-to-end: simhashPairs over the native bit path equals the " +
+       "digit-column formulation on a near-dup corpus") {
+    val docs = (0 until 80).map { i =>
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      (i.toLong, if (i % 4 == 0) base else base + s" tail${i % 9}")
+    }.toDF("doc_id", "text")
+    val native = Dedup.simhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    // the pre-r6 digit-column signature, same banding machinery
+    val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("_tok"))
+    val withDigits = tokens.withColumn("_m", md5(col("_tok"))).select(
+      col("doc_id") +: (0 until 16).map { k =>
+        conv(substring(col("_m"), k + 1, 1), 16, 10).cast("int").as(s"_d$k")
+      }: _*)
+    def bit(i: Int) = shiftright(col(s"_d${i / 4}"), 3 - (i % 4)).bitwiseAND(lit(1))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(bit(i) === 1, 1).otherwise(-1)).as(s"_b$i")
+    }
+    val agged = withDigits.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"_b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val legacySig = agged.select(col("doc_id"), sig.as("simhash"))
+    val nativeSig = Dedup.simhash(docs, "doc_id", "text")
+    val l = legacySig.as[(Long, Long)].collect().toMap
+    val n = nativeSig.as[(Long, Long)].collect().toMap
+    assert(l == n, "signatures must be bit-identical")
+    assert(native.nonEmpty, "fixture must produce pairs")
   }
 
   test("min_gram_md5 == array_min(transform(wordShingles, md5)) " +
@@ -131,6 +184,31 @@ class ShingleCodegenSpec extends SparkSpec {
       rows.foreach { r =>
         assert(r.getSeq[Long](1).toSet == r.getSeq[Long](2).toSet,
           s"mode=$mode id=${r.getLong(0)}: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
+      }
+    }
+  }
+
+  test("positioned_gram_hashes == xxhash64 over the regex-split HOF gram " +
+       "chain, position-for-position, hostile strings") {
+    // the es1 string formulation this replaces: split(" +") keeps
+    // leading/trailing empty tokens; short docs produce no grams
+    val df = (hostile ++ Seq((100L, "  double  leading"), (101L, "trailing  "),
+      (102L, " "), (103L, "a  b   c d"))).toDF("id", "t")
+    for (k <- Seq(1, 3, 5); mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      val ws = split(col("t"), " +")
+      val hof = when(size(ws) >= k,
+        transform(transform(sequence(lit(0), size(ws) - k),
+          i => array_join(slice(ws, i + 1, lit(k)), " ")), g => xxhash64(g)))
+        .otherwise(array().cast("array<long>"))
+      val rows = withMode(mode) {
+        df.select(col("id"),
+            TextExpressions.positioned_gram_hashes(col("t"), k).as("native"),
+            hof.as("hofh"))
+          .collect()
+      }
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"mode=$mode k=$k id=${r.getLong(0)}: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
       }
     }
   }
