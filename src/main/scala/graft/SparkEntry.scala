@@ -107,6 +107,35 @@ object SparkEntry {
         "agree_tokens", "score")
   }
 
+  /** Shared stage for the raw-extraction query family (kg2/kg3/kg14/
+    * kg15/kg19/kg20/kg22/kg32/kg34/kg36): the full-width per-turn triple
+    * extraction over the memoized turns table. Session-memoized: every
+    * consumer is a projection of this ONE frame, so row identity is
+    * trivial; previously each query re-ran the extraction chain. */
+  private def rawTriples(s: SparkSession, dir: String): DataFrame =
+    memoDF(s, dir, "triples_raw") {
+      Extraction.triplesRaw(eventsTranscripts(s, dir))
+    }
+
+  /** kg11/kg12 shared stage: the 5-round label-propagation assignment
+    * (session-memoized — kg12's modularity scores kg11's exact labels). */
+  private def kgCommunities(s: SparkSession, dir: String): DataFrame =
+    memoDF(s, dir, "communities") {
+      graft.graph.LabelPropagation.run(
+        eventsPipeline(s, dir).tripleSet
+          .select(col("subj").as("src"), col("obj").as("dst")),
+        rounds = 5)
+    }
+
+  /** dd2/er1 shared stage: the verified MinHash near-dup pair table over
+    * the documents corpus (session-memoized — er1 is the blocking-quality
+    * audit OF the dd2 blocker, so it reads the same pair table). */
+  private def docMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    memoDF(s, dir, "minhash_pairs") {
+      graft.textops.Dedup.minhashPairs(tbl(s, dir, "documents"),
+        "doc_id", "text", 0.8)
+    }
+
   /** kg39/kg40 shared stage: the DeepWalk walk corpus over the KG
     * (session-memoized — kg40's skip-grams consume kg39's exact corpus). */
   private def kgWalks(s: SparkSession, dir: String): DataFrame =
@@ -124,10 +153,10 @@ object SparkEntry {
   private def validityIntervals(s: SparkSession, dir: String): DataFrame =
     memoDF(s, dir, "validity") { validityIntervalsBuild(s, dir) }
   private def validityIntervalsBuild(s: SparkSession, dir: String): DataFrame = {
-    // t feeds both the extraction and the ts re-join — the memoized turns
-    // table is already lineage-cut, so both consumers share one build
+    // the memoized turns + raw-triple frames are already lineage-cut, so
+    // the extraction and the ts re-join share one build each
     val t = eventsTranscripts(s, dir)
-    val tr = Extraction.triplesRaw(t)
+    val tr = rawTriples(s, dir)
       .select(col("conv_id"), col("turn_idx"),
         col("subj_raw").as("subj"), col("pred"), col("obj_raw").as("obj"))
     val obs = tr
@@ -269,13 +298,13 @@ object SparkEntry {
 
     // per-turn triple extraction (DataToPattern.scala:11-73 analog)
     "kg2_triples_raw" -> ((s, dir) =>
-      Extraction.triplesRaw(eventsTranscripts(s, dir))
+      rawTriples(s, dir)
         .select(col("conv_id"), col("turn_idx"), col("subj_raw").as("subj"),
           col("pred"), col("obj_raw").as("obj"))),
 
     // mention table (distinct normalized mentions with occurrence counts)
     "kg3_mentions" -> ((s, dir) =>
-      Extraction.mentions(Extraction.triplesRaw(eventsTranscripts(s, dir)))
+      Extraction.mentions(rawTriples(s, dir))
         .select("mention_type", "norm", "n_occurrences")),
 
     // FULL pipeline end-to-end: extraction -> LSH blocking -> connected
@@ -344,19 +373,16 @@ object SparkEntry {
 
     // community detection: 5 rounds of deterministic synchronous label
     // propagation (plurality label, smallest-label tie-break); the
-    // oracle replays the identical rounds unrolled
-    "kg11_communities" -> ((s, dir) => graft.graph.LabelPropagation.run(
-      eventsPipeline(s, dir).tripleSet
-        .select(col("subj").as("src"), col("obj").as("dst")),
-      rounds = 5)),
+    // oracle replays the identical rounds unrolled. Shared stage: kg12
+    // scores exactly this assignment (memoDF — kg11 builds, kg12 reuses)
+    "kg11_communities" -> ((s, dir) => kgCommunities(s, dir)),
 
     // community quality: Newman-Girvan modularity of the kg11 assignment
     // (exact integer e_c/d_c/m aggregates; one float chain, 6dp)
     "kg12_modularity" -> ((s, dir) => {
       val e = eventsPipeline(s, dir).tripleSet
         .select(col("subj").as("src"), col("obj").as("dst"))
-      graft.graph.Modularity.perCommunity(e,
-        graft.graph.LabelPropagation.run(e, rounds = 5))
+      graft.graph.Modularity.perCommunity(e, kgCommunities(s, dir))
     }),
 
     // k-hop neighborhood extraction: minimum forward distance (<= 3) from
@@ -376,7 +402,7 @@ object SparkEntry {
     // edge source for KG construction (association edges the predicate
     // rules have no pattern for); pair fan-out bounded per conversation
     "kg14_pmi" -> ((s, dir) => {
-      val t = Extraction.triplesRaw(eventsTranscripts(s, dir))
+      val t = rawTriples(s, dir)
       val m = t.select(col("conv_id"), col("subj_norm").as("ent"))
         .unionByName(t.select(col("conv_id"), col("obj_norm").as("ent")))
       graft.graph.Cooccurrence.pmi(m, "conv_id", "ent")
@@ -387,7 +413,7 @@ object SparkEntry {
     // turn — the confidence/recency evidence a production KG carries on
     // every edge; one partial-agg groupBy over raw extractions
     "kg15_provenance" -> ((s, dir) =>
-      Extraction.triplesRaw(eventsTranscripts(s, dir))
+      rawTriples(s, dir)
         .groupBy(col("subj_norm").as("subj"), col("pred"),
           col("obj_norm").as("obj"))
         .agg(count(lit(1)).as("n_observations"),
@@ -430,7 +456,7 @@ object SparkEntry {
     // the winner is a partial-aggregable arg-min, not a window
     "kg19_resolved" -> ((s, dir) => {
       import s.implicits._
-      val prov = Extraction.triplesRaw(eventsTranscripts(s, dir))
+      val prov = rawTriples(s, dir)
         .groupBy(col("subj_norm").as("subj"), col("pred"),
           col("obj_norm").as("obj"))
         .agg(count(lit(1)).as("n_observations"),
@@ -443,7 +469,7 @@ object SparkEntry {
     // outgoing predicate (arg-min struct, no window), first/last seen in
     // any slot; the entity-grain rollup a KG front-end reads
     "kg20_entity_cards" -> ((s, dir) => {
-      val prov = Extraction.triplesRaw(eventsTranscripts(s, dir))
+      val prov = rawTriples(s, dir)
         .groupBy(col("subj_norm").as("subj"), col("pred"),
           col("obj_norm").as("obj"))
         .agg(min(col("turn_idx")).as("first_turn"),
@@ -636,7 +662,7 @@ object SparkEntry {
     // entity of the label carries the predicate, max_count = observed
     // per-subject fan-out ceiling; 1 = functional at this label)
     "kg36_shapes" -> ((s, dir) => {
-      val td = Extraction.triplesRaw(eventsTranscripts(s, dir))
+      val td = rawTriples(s, dir)
         .select(col("subj_raw").as("subj"), col("pred"),
           col("obj_raw").as("obj"), col("subj_type"), col("obj_type"))
       graft.schemadisc.ShapeSynthesis.shapes(td)
@@ -660,7 +686,7 @@ object SparkEntry {
       // lineage cut: encodeTriples reads its input four ways (subj ∪ obj
       // entity dict, predicate dict, and the encoded join probe) — without
       // the cut the extraction chain replays per consumer
-      val tr = Extraction.triplesRaw(eventsTranscripts(s, dir))
+      val tr = rawTriples(s, dir)
         .select(col("subj_raw").as("subj"), col("pred"), col("obj_raw").as("obj"))
         .localCheckpoint(false)
       val (_, _, enc) = graft.graph.Dictionary.encodeTriples(
@@ -669,7 +695,7 @@ object SparkEntry {
     }),
 
     "kg22_entity_types" -> ((s, dir) => {
-      val t = Extraction.triplesRaw(eventsTranscripts(s, dir))
+      val t = rawTriples(s, dir)
       val m = t.select(col("subj_norm").as("entity"), col("subj_type").as("etype"))
         .unionByName(t.select(col("obj_norm").as("entity"), col("obj_type").as("etype")))
       graft.graph.EntityTyping.plurality(m, "entity", "etype")
@@ -763,9 +789,9 @@ object SparkEntry {
       graft.textops.Dedup.exact(d.unionByName(snapshot2), "doc_id", "text")
     }),
 
-    // MinHash+LSH near-dup pairs, exact-Jaccard verified
-    "dd2_minhash_pairs" -> ((s, dir) =>
-      graft.textops.Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", 0.8)),
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified (shared stage:
+    // er1 audits exactly this pair table — memoDF, dd2 builds first)
+    "dd2_minhash_pairs" -> ((s, dir) => docMinhashPairs(s, dir)),
 
     // blocking-quality audit of the dd2 MinHash blocker: pairs
     // completeness vs the exact-duplicate ground truth (identical text,
@@ -778,8 +804,7 @@ object SparkEntry {
       val truth = h.as("a").join(h.as("b"),
           col("a._h") === col("b._h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val found = graft.textops.Dedup
-        .minhashPairs(docs, "doc_id", "text", 0.8)
+      val found = docMinhashPairs(s, dir)
         .select(col("id_a"), col("id_b"))
       graft.eval.Metrics.blockingQuality(docs, "doc_id", truth, found)
     }),
