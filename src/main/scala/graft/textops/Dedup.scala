@@ -71,12 +71,14 @@ object Dedup {
    * The token hash is PORTABLE by default: bit j = bit (3 - j%4) of hex
    * digit j/4 of md5(token). md5 + substring + integer shifts exist verbatim
    * in DuckDB, so an independent SQL oracle can re-derive the signatures
-   * (the mm3 portability trick). `portableHash = false` switches the token
-   * hash to a single `xxhash64` (bit i of the 64-bit hash directly) — the
-   * production path at scale: one codegen'd long hash per token instead of
-   * md5 + 16 hex-digit conversions, same banding/verify machinery, but
-   * Spark-only (an independent SQL oracle can no longer re-derive it, which
-   * is why it is not the default). Signatures differ between the two hashes;
+   * (the mm3 portability trick); since r6 the 64 bits are assembled by the
+   * native `simhash_md5_bits` expression in one digest pass — bit-identical
+   * to the digit chain the oracle replays (ShingleCodegenSpec).
+   * `portableHash = false` switches the token hash to a single `xxhash64`
+   * (bit i of the 64-bit hash directly): one 8-byte hash per token instead
+   * of an md5 digest, same banding/verify machinery, but Spark-only (an
+   * independent SQL oracle can no longer re-derive it, which is why it is
+   * not the default). Signatures differ between the two hashes;
    * the CONTRACT (identical texts collide at Hamming 0, near-identical at
    * small Hamming) is hash-independent and tested for both.
    */

@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
  * partitioning, unlike a double fold whose 6th decimal can depend on
  * summation order (a real mismatch the sf0.01 oracle run caught).
  *
- * 100 TB shape: training is two partial-agg shuffles carrying ≤ B rows
- * each after map-side combine; the two weight tables collect to the
+ * 100 TB shape: training is ONE tokenize pass whose tagged bigram +
+ * unigram bucket streams share one partial-agg shuffle carrying ≤ 2B
+ * rows after map-side combine; the two weight tables collect to the
  * driver (tiny by construction — the IVF-centroid rule); scoring is then
  * a ZERO-SHUFFLE pure projection (two map-literal lookups and a fold per
  * document), repartition/retry-invariant and whole-stage-codegen
