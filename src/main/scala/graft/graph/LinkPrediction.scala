@@ -45,19 +45,37 @@ object LinkPrediction {
     * `src`/`dst` columns; nulls dropped. `maxDegree` > 0 excludes
     * witnesses with larger degree from the evidence (hub guard). */
   def topCandidates(edges: DataFrame, k: Int, maxDegree: Long = 0L): DataFrame = {
-    // lineage cuts: und feeds the degree agg, the adjacency AND the
-    // anti-join; w feeds the self-join twice (the Triangles posture)
+    // lineage cuts: und feeds the dictionary + encode joins; undE feeds
+    // the degree agg, the adjacency AND the anti-join; w feeds the
+    // self-join twice (the Triangles posture)
     val und = edges
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .localCheckpoint(false)
-    val deg = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node")))
+    // Dense LEXICOGRAPHIC entity ids (the kg34 width trick, applied inside
+    // the operator per guide §2.3): the witness self-join's deg²-sized pair
+    // stream and its (a, b) partial agg then carry 8-byte longs instead of
+    // entity strings. The dictionary is an order-preserving bijection, so
+    // a < b, the groupBy grain, the anti-join, and the
+    // (score desc, a, b) tie-break are all EXACTLY the string semantics;
+    // only the final k rows are decoded back (and re-sorted — the decode
+    // joins do not preserve the TakeOrdered order).
+    val dict = Dictionary.build(
+      und.select(col("a").as("value")).unionAll(und.select(col("b").as("value"))),
+      "value")
+      .localCheckpoint(false) // 2 encode + 2 decode consumers
+    val undE = und
+      .join(dict.select(col("value").as("a"), col("id").as("_ia")), "a")
+      .join(dict.select(col("value").as("b"), col("id").as("_ib")), "b")
+      .select(col("_ia").as("a"), col("_ib").as("b"))
+      .localCheckpoint(false)
+    val deg = undE.select(col("a").as("node"))
+      .unionAll(undE.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    val annotated = und.select(col("a").as("z"), col("b").as("n"))
-      .unionAll(und.select(col("b").as("z"), col("a").as("n")))
+    val annotated = undE.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(undE.select(col("b").as("z"), col("a").as("n")))
       .join(deg.withColumnRenamed("node", "z"), "z")
     val kept =
       if (maxDegree > 0L) annotated.filter(col("degree") <= maxDegree) else annotated
@@ -84,10 +102,16 @@ object LinkPrediction {
       .agg(count(lit(1)).as("common_neighbors"),
         sum(col("aa_u")).as("aa_micro"),
         sum(col("ra_u")).as("ra_micro"))
-    pairs.join(und, Seq("a", "b"), "left_anti")
+    pairs.join(undE, Seq("a", "b"), "left_anti")
       .orderBy(col("aa_micro").desc, col("a"), col("b"))
       .limit(k)
-      .select(col("a"), col("b"), col("common_neighbors"),
+      // decode the k winners back to entity strings (two broadcast-sized
+      // joins over k rows) and restore the order the joins dropped —
+      // identical to ordering on ids because the dictionary is monotone
+      .join(dict.select(col("id").as("a"), col("value").as("_va")), "a")
+      .join(dict.select(col("id").as("b"), col("value").as("_vb")), "b")
+      .orderBy(col("aa_micro").desc, col("_va"), col("_vb"))
+      .select(col("_va").as("a"), col("_vb").as("b"), col("common_neighbors"),
         round(col("aa_micro") / 1e6, 6).as("adamic_adar"),
         round(col("ra_micro") / 1e6, 6).as("resource_alloc"))
   }
